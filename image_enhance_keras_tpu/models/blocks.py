@@ -1,0 +1,109 @@
+"""Residual block family — the core compute pattern of all three generators.
+
+Reference block zoo (SURVEY.md section 2.2):
+  * ``LightBlock``   — EDSR-style: x + 0.1 * conv3(relu(conv3(x)))
+    (reference models.py:1231-1245); optional LeakyReLU slope for the
+    ``_residual_block_light0`` variant (models.py:1127-1142).
+  * ``Light53Block`` — dual-branch: 0.9*x + 0.1*(conv5(relu(conv3(x))) +
+    conv3(relu(conv5(x)))) (reference models.py:1248-1270).
+  * ``DiffBlock``    — "diff-VDSR": t = conv3(relu(conv3(x))); d = t - x;
+    u = conv3(lrelu_0.2(conv3(d))); x + 0.1*(d + u + t)
+    (reference models.py:1336-1357).  The Difvdsr4 variant
+    (models.py:1083-1108) uses relu and sums only (u + t).
+
+TPU notes: all convs are NHWC `lax.conv_general_dilated` through flax
+``nn.Conv`` — XLA lowers them onto the MXU and fuses the scale/add epilogues.
+Residual scales are compile-time constants.  Channel counts (128/192/256) are
+multiples of the 128-lane vector width by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+__all__ = ["LightBlock", "Light53Block", "DiffBlock"]
+
+
+def _act(x: jnp.ndarray, leaky_slope: float | None) -> jnp.ndarray:
+    if leaky_slope is None:
+        return nn.relu(x)
+    return nn.leaky_relu(x, negative_slope=leaky_slope)
+
+
+class LightBlock(nn.Module):
+    """x + res_scale * conv3(act(conv3(x))). Reference models.py:1231-1245."""
+
+    features: int
+    res_scale: float = 0.1
+    leaky_slope: float | None = None  # None -> relu; 0.001 -> light0 variant
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name="conv_a")(x)
+        h = _act(h, self.leaky_slope)
+        h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name="conv_b")(h)
+        return x + jnp.asarray(self.res_scale, h.dtype) * h
+
+
+class Light53Block(nn.Module):
+    """0.9*x + 0.1*(branch_35 + branch_53). Reference models.py:1248-1270.
+
+    branch_35 = conv5(relu(conv3(x))); branch_53 = conv3(relu(conv5(x))).
+    Keras creation order (for weight import): a1(3x3), a2(5x5), b1(5x5), b2(3x3).
+    """
+
+    features: int
+    res_scale: float = 0.1
+    identity_scale: float = 0.9
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        a = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name="conv_a1")(x)
+        a = nn.relu(a)
+        a = nn.Conv(self.features, (5, 5), padding="SAME", dtype=self.dtype, name="conv_a2")(a)
+        b = nn.Conv(self.features, (5, 5), padding="SAME", dtype=self.dtype, name="conv_b1")(x)
+        b = nn.relu(b)
+        b = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name="conv_b2")(b)
+        h = a + b
+        return (
+            jnp.asarray(self.identity_scale, h.dtype) * x
+            + jnp.asarray(self.res_scale, h.dtype) * h
+        )
+
+
+class DiffBlock(nn.Module):
+    """The "difference" residual block of Difvdsr (reference models.py:1336-1357).
+
+    t = conv_b(relu(conv_a(x)))          # main tower
+    d = t - x                            # Subtract
+    u = conv_d(act(conv_c(d)))           # diff tower
+    out = x + res_scale * (d + u + t)    # 3-way Add then x0.1 (difvdsr)
+    With ``three_way=False`` (Difvdsr4 variant, models.py:1083-1108):
+    out = x + res_scale * (u + t), act = relu.
+    """
+
+    features: int
+    res_scale: float = 0.1
+    leaky_slope: float | None = 0.2  # difvdsr uses LeakyReLU(0.2); difv4 relu
+    three_way: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        t = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name="conv_a")(x)
+        t = nn.relu(t)
+        t = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name="conv_b")(t)
+        d = t - x
+        u = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name="conv_c")(d)
+        u = _act(u, self.leaky_slope)
+        u = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name="conv_d")(u)
+        if self.three_way:
+            s = d + u + t
+        else:
+            s = u + t
+        return x + jnp.asarray(self.res_scale, s.dtype) * s

@@ -1,0 +1,186 @@
+"""Resampling ops with exact TF1 / PIL coordinate semantics, as MXU matmuls.
+
+The reference upsamples *inside the network graph* with TF1's
+``tf.image.resize_bilinear`` (align_corners=False — the legacy "asymmetric"
+coordinate transform, reference models.py:1392-1399), and degrades training
+data with ``scipy.misc.imresize`` which is PIL resampling under the hood
+(reference img_utils.py:107-111).  Both kernel families are reproduced here.
+
+TPU-first design: a separable resize is two dense matmuls with precomputed
+(out_size, in_size) weight matrices.  The matrices are built once in NumPy at
+trace time (static shapes), become XLA constants, and the contraction runs on
+the MXU — there is no gather, no dynamic shape, and XLA fuses the surrounding
+elementwise work into the matmuls.  For the in-network x4 bilinear this is
+exact (the weights have at most two nonzeros per row).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = [
+    "resize2d",
+    "resize_bilinear_tf1",
+    "resize_bicubic_pil",
+    "upscale_bilinear_x4",
+    "resize_weight_matrix",
+]
+
+
+# ---------------------------------------------------------------------------
+# Filter kernels (PIL family)
+# ---------------------------------------------------------------------------
+
+def _kernel_triangle(x: np.ndarray) -> np.ndarray:
+    return np.maximum(0.0, 1.0 - np.abs(x))
+
+
+def _kernel_cubic(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    # Keys cubic with a=-0.5 — the kernel used by PIL BICUBIC and TF bicubic.
+    ax = np.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    w = np.where(
+        ax < 1.0,
+        (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0,
+        np.where(ax < 2.0, a * ax3 - 5.0 * a * ax2 + 8.0 * a * ax - 4.0 * a, 0.0),
+    )
+    return w
+
+
+def _kernel_lanczos3(x: np.ndarray) -> np.ndarray:
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w = np.sinc(x) * np.sinc(x / 3.0)
+    return np.where(np.abs(x) < 3.0, np.nan_to_num(w), 0.0)
+
+
+def _kernel_box(x: np.ndarray) -> np.ndarray:
+    return np.where((x >= -0.5) & (x < 0.5), 1.0, 0.0)
+
+
+_PIL_KERNELS = {
+    "pil_bilinear": (_kernel_triangle, 1.0),
+    "pil_bicubic": (_kernel_cubic, 2.0),
+    "pil_lanczos": (_kernel_lanczos3, 3.0),
+    "pil_box": (_kernel_box, 0.5),
+}
+
+
+# ---------------------------------------------------------------------------
+# Weight-matrix builders
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def resize_weight_matrix(in_size: int, out_size: int, method: str) -> np.ndarray:
+    """Dense (out_size, in_size) resampling matrix for one axis.
+
+    Methods:
+      * ``tf1_bilinear`` — TF1 ``resize_bilinear`` align_corners=False:
+        ``src = dst * in/out`` (no half-pixel offset), edge-clamped.
+      * ``tf1_nearest``  — TF1 ``resize_nearest_neighbor`` align_corners=False.
+      * ``pil_bilinear`` / ``pil_bicubic`` / ``pil_lanczos`` / ``pil_box`` —
+        PIL convolution resampling: half-pixel centres, kernel support scaled
+        by the downscale factor (antialias), weights normalised per row.
+    """
+    if in_size <= 0 or out_size <= 0:
+        raise ValueError("sizes must be positive")
+
+    if method == "tf1_bilinear":
+        scale = in_size / out_size
+        src = np.arange(out_size, dtype=np.float64) * scale
+        i0 = np.floor(src).astype(np.int64)
+        frac = src - i0
+        i0 = np.clip(i0, 0, in_size - 1)
+        i1 = np.clip(i0 + 1, 0, in_size - 1)
+        w = np.zeros((out_size, in_size), dtype=np.float64)
+        rows = np.arange(out_size)
+        w[rows, i0] += 1.0 - frac
+        w[rows, i1] += frac
+        return w.astype(np.float32)
+
+    if method == "tf1_nearest":
+        scale = in_size / out_size
+        src = np.minimum(np.floor(np.arange(out_size) * scale).astype(np.int64), in_size - 1)
+        w = np.zeros((out_size, in_size), dtype=np.float32)
+        w[np.arange(out_size), src] = 1.0
+        return w
+
+    if method == "pil_nearest":
+        scale = in_size / out_size
+        src = np.clip(((np.arange(out_size) + 0.5) * scale).astype(np.int64), 0, in_size - 1)
+        w = np.zeros((out_size, in_size), dtype=np.float32)
+        w[np.arange(out_size), src] = 1.0
+        return w
+
+    if method not in _PIL_KERNELS:
+        raise ValueError(f"unknown resize method: {method!r}")
+
+    kernel, base_support = _PIL_KERNELS[method]
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = base_support * filterscale
+    inv = 1.0 / filterscale
+
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), in_size)
+        js = np.arange(xmin, xmax)
+        ws = kernel((js + 0.5 - center) * inv)
+        total = ws.sum()
+        if total != 0.0:
+            ws = ws / total
+        w[i, xmin:xmax] = ws
+    return w.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Public resize ops
+# ---------------------------------------------------------------------------
+
+def resize2d(
+    x: jnp.ndarray,
+    out_hw: tuple[int, int],
+    method: str = "tf1_bilinear",
+    precision=None,
+) -> jnp.ndarray:
+    """Resize the (H, W) axes of an NHWC / HWC array. Jittable; MXU matmuls.
+
+    ``x`` is (..., H, W, C); returns (..., out_h, out_w, C) in ``x``'s dtype.
+    Defaults to HIGHEST precision (exact f32 contraction) because resizes sit
+    on the metric-parity path; pass ``precision=lax.Precision.DEFAULT`` inside
+    a bf16 serving profile if the matmuls ever show up in a profile.
+    """
+    from jax import lax
+
+    if precision is None:
+        precision = lax.Precision.HIGHEST
+    h, w = int(x.shape[-3]), int(x.shape[-2])
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if (h, w) == (oh, ow):
+        return x
+    wh = jnp.asarray(resize_weight_matrix(h, oh, method), dtype=x.dtype)
+    ww = jnp.asarray(resize_weight_matrix(w, ow, method), dtype=x.dtype)
+    y = jnp.einsum("oh,...hwc->...owc", wh, x, precision=precision)
+    y = jnp.einsum("pw,...owc->...opc", ww, y, precision=precision)
+    return y
+
+
+def resize_bilinear_tf1(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """TF1 ``tf.image.resize_bilinear`` (align_corners=False) parity resize."""
+    return resize2d(x, out_hw, "tf1_bilinear")
+
+
+def resize_bicubic_pil(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """PIL/`scipy.misc.imresize` BICUBIC parity resize (antialiased downscale)."""
+    return resize2d(x, out_hw, "pil_bicubic")
+
+
+def upscale_bilinear_x4(x: jnp.ndarray) -> jnp.ndarray:
+    """The in-network x4 upsample of the flagship model (reference models.py:1193)."""
+    return resize_bilinear_tf1(x, (4 * int(x.shape[-3]), 4 * int(x.shape[-2])))

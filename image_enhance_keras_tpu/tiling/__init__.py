@@ -1,0 +1,8 @@
+from image_enhance_keras_tpu.tiling.tiles import (  # noqa: F401
+    TilePlan,
+    plan_tiles,
+    pad_to_plan,
+    extract_tiles,
+    stitch_tiles,
+    crop_output,
+)

@@ -1,0 +1,181 @@
+"""Static-shape overlapped tiling: extract and crop-stitch as pure XLA gathers.
+
+The reference implements arbitrary-size inference by zero-padding the image,
+extracting overlapping 96x96 tiles at step 64 in a host Python loop
+(img_utils.py:601-690), running the net per tile, and pasting the x4 outputs
+back with an 8-px crop on every side except the first row/column, later tiles
+overwriting earlier ones (img_utils.py:692-724, column-major order: w outer,
+h inner).
+
+TPU-native redesign: both directions are *separable gathers* with
+compile-time index vectors.
+
+  * Extraction: `take` of row indices then column indices produces the full
+    (N, P, P, C) tile batch in one fused gather pair — no host loop, tiles
+    never leave HBM.
+  * Stitching: the overwrite-order paste has a closed form.  For an output
+    pixel (y, x), the owning tile is (h_own(y), w_own(x)) with
+    ``h_own(y) = clip(floor((y - crop) / (step*scale)), 0, cnt_h - 1)`` —
+    the *last* tile in paste order whose cropped region covers the pixel —
+    and the intra-tile offset is ``y - h_own*step*scale``.  Both factors are
+    per-axis, so the whole stitch is two `take`s on a (cnt_h*P, cnt_w*P, C)
+    re-layout of the tile batch.  This is bit-identical to the reference's
+    paste loop on every pixel that survives the final crop-to-original
+    (coverage proof in tests/test_tiling.py).
+
+All shapes are static per (H, W) bucket: one jit compile per padded size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = [
+    "TilePlan",
+    "plan_tiles",
+    "pad_to_plan",
+    "extract_tiles",
+    "stitch_tiles",
+    "crop_output",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class TilePlan:
+    """Compile-time tile geometry for one input size."""
+
+    orig_h: int
+    orig_w: int
+    padded_h: int
+    padded_w: int
+    patch: int
+    step: int
+    cnt_h: int
+    cnt_w: int
+    scale: int
+    crop: int
+
+    @property
+    def n_tiles(self) -> int:
+        return self.cnt_h * self.cnt_w
+
+    @property
+    def out_h(self) -> int:
+        return self.orig_h * self.scale
+
+    @property
+    def out_w(self) -> int:
+        return self.orig_w * self.scale
+
+
+def _count_positions(padded: int, patch: int, step: int) -> int:
+    # positions w in {0, step, 2*step, ...} with w < padded - patch
+    # (reference loop: `for w in range(i_w - p_w): if w % step == 0`,
+    # img_utils.py:622-628)
+    limit = padded - patch
+    if limit <= 0:
+        return 0
+    return (limit - 1) // step + 1
+
+
+def plan_tiles(
+    height: int,
+    width: int,
+    patch: int = 96,
+    step: int = 64,
+    scale: int = 4,
+    crop: int = 8,
+) -> TilePlan:
+    """Reproduces the reference padding arithmetic exactly.
+
+    1. zero-pad bottom/right by ``patch`` (models.py:225-230);
+    2. if either padded dim is not a multiple of ``step``, round BOTH up to
+       ``int(dim/step + 1) * step`` — note: a dim already divisible gains a
+       full extra step, a quirk of models.py:250-262 kept for golden parity.
+    """
+    h1, w1 = height + patch, width + patch
+    if h1 % step != 0 or w1 % step != 0:
+        h1 = (h1 // step + 1) * step
+        w1 = (w1 // step + 1) * step
+    return TilePlan(
+        orig_h=height,
+        orig_w=width,
+        padded_h=h1,
+        padded_w=w1,
+        patch=patch,
+        step=step,
+        cnt_h=_count_positions(h1, patch, step),
+        cnt_w=_count_positions(w1, patch, step),
+        scale=scale,
+        crop=crop,
+    )
+
+
+def pad_to_plan(img: jnp.ndarray, plan: TilePlan) -> jnp.ndarray:
+    """Zero-pad an (H, W, C) image bottom/right to the plan's padded size."""
+    ph = plan.padded_h - img.shape[0]
+    pw = plan.padded_w - img.shape[1]
+    return jnp.pad(img, ((0, ph), (0, pw), (0, 0)))
+
+
+@functools.lru_cache(maxsize=None)
+def _extract_indices(plan: TilePlan) -> tuple[np.ndarray, np.ndarray]:
+    p, s = plan.patch, plan.step
+    rows = (np.arange(plan.cnt_h)[:, None] * s + np.arange(p)[None, :]).reshape(-1)
+    cols = (np.arange(plan.cnt_w)[:, None] * s + np.arange(p)[None, :]).reshape(-1)
+    return rows.astype(np.int32), cols.astype(np.int32)
+
+
+def extract_tiles(img: jnp.ndarray, plan: TilePlan) -> jnp.ndarray:
+    """(padded_h, padded_w, C) -> (N, P, P, C) tiles, column-major order
+    (w outer, h inner — the reference's paste order, img_utils.py:622-628)."""
+    rows, cols = _extract_indices(plan)
+    p, c = plan.patch, img.shape[-1]
+    g = jnp.take(img, jnp.asarray(rows), axis=0)           # (cnt_h*P, W, C)
+    g = jnp.take(g, jnp.asarray(cols), axis=1)             # (cnt_h*P, cnt_w*P, C)
+    g = g.reshape(plan.cnt_h, p, plan.cnt_w, p, c)
+    # -> (cnt_w, cnt_h, P, P, C) -> (N, P, P, C) with w-major flattening
+    return g.transpose(2, 0, 1, 3, 4).reshape(plan.n_tiles, p, p, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _stitch_indices(plan: TilePlan) -> tuple[np.ndarray, np.ndarray]:
+    ps = plan.patch * plan.scale          # scaled patch size
+    ss = plan.step * plan.scale           # scaled step
+    cr = plan.crop
+
+    def axis_index(n_out: int, cnt: int) -> np.ndarray:
+        y = np.arange(n_out)
+        own = np.clip((y - cr) // ss, 0, cnt - 1)
+        intra = np.clip(y - own * ss, 0, ps - 1)  # clamp covers uncovered padded tail
+        return (own * ps + intra).astype(np.int32)
+
+    return (
+        axis_index(plan.padded_h * plan.scale, plan.cnt_h),
+        axis_index(plan.padded_w * plan.scale, plan.cnt_w),
+    )
+
+
+def stitch_tiles(tiles: jnp.ndarray, plan: TilePlan) -> jnp.ndarray:
+    """(N, P*scale, P*scale, C) tiles -> (padded_h*scale, padded_w*scale, C).
+
+    Closed-form equivalent of the reference's overwrite-order crop-paste
+    (img_utils.py:692-724) — two separable gathers, fully on device.
+    """
+    ps = plan.patch * plan.scale
+    c = tiles.shape[-1]
+    t = tiles.reshape(plan.cnt_w, plan.cnt_h, ps, ps, c)
+    t = t.transpose(1, 2, 0, 3, 4).reshape(plan.cnt_h * ps, plan.cnt_w * ps, c)
+    rows, cols = _stitch_indices(plan)
+    out = jnp.take(t, jnp.asarray(rows), axis=0)
+    out = jnp.take(out, jnp.asarray(cols), axis=1)
+    return out
+
+
+def crop_output(canvas: jnp.ndarray, plan: TilePlan) -> jnp.ndarray:
+    """Final crop to (orig_h*scale, orig_w*scale) (models.py:412)."""
+    return canvas[: plan.out_h, : plan.out_w]

@@ -1,0 +1,138 @@
+"""PSNR/SSIM tests: scalar-loop reference implementations as oracles."""
+
+import numpy as np
+from scipy import ndimage
+
+import jax.numpy as jnp
+
+from image_enhance_keras_tpu.ops.metrics import (
+    psnr_nitre,
+    psnr_shave,
+    psnr_peak1,
+    ssim,
+)
+from image_enhance_keras_tpu.ops.pixel_shuffle import depth_to_space, space_to_depth
+
+
+def _ssim_ref(x, y, data_range=255.0, win_size=7):
+    """Independent NumPy/scipy implementation of skimage compare_ssim defaults."""
+    x = x.astype(np.float64)
+    y = y.astype(np.float64)
+    filt = lambda a: ndimage.uniform_filter(a, size=win_size)
+    ux, uy = filt(x), filt(y)
+    uxx, uyy, uxy = filt(x * x), filt(y * y), filt(x * y)
+    npts = win_size**2
+    cov_norm = npts / (npts - 1)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux**2 + uy**2 + c1) * (vx + vy + c2))
+    pad = (win_size - 1) // 2
+    return s[pad:-pad, pad:-pad].mean()
+
+
+def test_psnr_nitre_formula():
+    rng = np.random.default_rng(0)
+    gt = rng.integers(0, 256, (32, 30)).astype(np.float64)
+    pred = np.clip(gt + rng.normal(0, 5, gt.shape), 0, 255)
+    # scalar reference
+    p, t = pred / 255.0, gt / 255.0
+    d = p - t
+    want = 10 * np.log10(d.size / np.sum(d * d))
+    got = float(psnr_nitre(jnp.asarray(pred), jnp.asarray(gt), 0))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_psnr_nitre_shave_and_scale_invariance():
+    rng = np.random.default_rng(1)
+    gt = rng.integers(0, 256, (40, 40)).astype(np.float64)
+    pred = np.clip(gt + rng.normal(0, 3, gt.shape), 0, 255)
+    # shaving removes border influence
+    full = float(psnr_nitre(jnp.asarray(pred), jnp.asarray(gt), 0))
+    shaved = float(psnr_nitre(jnp.asarray(pred), jnp.asarray(gt), 10))
+    assert full != shaved
+    # inputs already in [0,1] must not be rescaled again
+    a = float(psnr_nitre(jnp.asarray(pred / 255.0), jnp.asarray(gt / 255.0), 0))
+    np.testing.assert_allclose(a, full, rtol=1e-4)
+
+
+def test_psnr_variants_consistent():
+    rng = np.random.default_rng(2)
+    gt = rng.integers(0, 256, (16, 16, 3)).astype(np.float64)
+    pred = np.clip(gt + rng.normal(0, 8, gt.shape), 0, 255)
+    m = np.mean((pred - gt) ** 2)
+    want = 20 * np.log10(255.0 / np.sqrt(m))
+    np.testing.assert_allclose(
+        float(psnr_shave(jnp.asarray(pred), jnp.asarray(gt), 0)), want, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(psnr_peak1(jnp.asarray(pred), jnp.asarray(gt))), want, rtol=1e-5
+    )
+
+
+def test_ssim_identical_images_is_one():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32)).astype(np.float64)
+    assert abs(float(ssim(jnp.asarray(img), jnp.asarray(img))) - 1.0) < 1e-6
+
+
+def test_ssim_matches_reference_impl():
+    rng = np.random.default_rng(4)
+    gt = rng.integers(0, 256, (48, 40)).astype(np.float64)
+    pred = np.clip(gt + rng.normal(0, 12, gt.shape), 0, 255)
+    want = _ssim_ref(pred, gt)
+    got = float(ssim(jnp.asarray(pred), jnp.asarray(gt), data_range=255.0))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_ssim_multichannel_is_channel_mean():
+    rng = np.random.default_rng(5)
+    gt = rng.integers(0, 256, (32, 32, 3)).astype(np.float64)
+    pred = np.clip(gt + rng.normal(0, 6, gt.shape), 0, 255)
+    want = np.mean([_ssim_ref(pred[..., c], gt[..., c]) for c in range(3)])
+    got = float(ssim(jnp.asarray(pred), jnp.asarray(gt)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_depth_to_space_roundtrip_both_orders():
+    rng = np.random.default_rng(6)
+    x = rng.random((2, 4, 5, 12 * 4)).astype(np.float32)
+    for order in ["dcr", "keras_ref"]:
+        y = depth_to_space(jnp.asarray(x), 2, order=order)
+        assert y.shape == (2, 8, 10, 12)
+        back = space_to_depth(y, 2, order=order)
+        np.testing.assert_allclose(np.asarray(back), x, atol=0)
+
+
+def test_depth_to_space_dcr_matches_tf_layout():
+    # out[h*r+dy, w*r+dx, c] == in[h, w, (dy*r+dx)*C + c]
+    r, c = 2, 3
+    x = np.arange(1 * 2 * 2 * r * r * c, dtype=np.float32).reshape(1, 2, 2, r * r * c)
+    y = np.asarray(depth_to_space(jnp.asarray(x), r, order="dcr"))
+    for h in range(2):
+        for w in range(2):
+            for dy in range(r):
+                for dx in range(r):
+                    for ch in range(c):
+                        assert (
+                            y[0, h * r + dy, w * r + dx, ch]
+                            == x[0, h, w, (dy * r + dx) * c + ch]
+                        )
+
+
+def test_depth_to_space_keras_ref_layout():
+    # Reference phase shift (keras_subpixel.py:64-84):
+    # out[h*r+dy, w*r+dx, c] == in[h, w, c*r*r + dx*r + dy]
+    r, c = 2, 3
+    x = np.arange(1 * 2 * 2 * r * r * c, dtype=np.float32).reshape(1, 2, 2, r * r * c)
+    y = np.asarray(depth_to_space(jnp.asarray(x), r, order="keras_ref"))
+    for h in range(2):
+        for w in range(2):
+            for dy in range(r):
+                for dx in range(r):
+                    for ch in range(c):
+                        assert (
+                            y[0, h * r + dy, w * r + dx, ch]
+                            == x[0, h, w, ch * r * r + dx * r + dy]
+                        )

@@ -1,0 +1,105 @@
+"""Resize parity tests: PIL as the oracle for PIL-semantics kernels, a
+hand-derived fixture for TF1 align_corners=False bilinear."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from image_enhance_keras_tpu.ops.resize import (
+    resize2d,
+    resize_weight_matrix,
+    upscale_bilinear_x4,
+)
+
+
+def _tf1_bilinear_ref(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Independent scalar-loop reference of TF1 resize_bilinear (align_corners=False)."""
+    h, w, c = img.shape
+    out = np.zeros((oh, ow, c), np.float64)
+    sh, sw = h / oh, w / ow
+    for y in range(oh):
+        fy = y * sh
+        y0 = int(np.floor(fy))
+        wy = fy - y0
+        y0 = min(y0, h - 1)
+        y1 = min(y0 + 1, h - 1)
+        for x in range(ow):
+            fx = x * sw
+            x0 = int(np.floor(fx))
+            wx = fx - x0
+            x0 = min(x0, w - 1)
+            x1 = min(x0 + 1, w - 1)
+            top = img[y0, x0] * (1 - wx) + img[y0, x1] * wx
+            bot = img[y1, x0] * (1 - wx) + img[y1, x1] * wx
+            out[y, x] = top * (1 - wy) + bot * wy
+    return out
+
+
+def test_tf1_bilinear_x4_matches_scalar_reference():
+    rng = np.random.default_rng(0)
+    img = rng.random((7, 5, 3)).astype(np.float32)
+    got = np.asarray(upscale_bilinear_x4(jnp.asarray(img)))
+    want = _tf1_bilinear_ref(img, 28, 20)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_tf1_bilinear_downscale_matches_scalar_reference():
+    rng = np.random.default_rng(1)
+    img = rng.random((12, 16, 3)).astype(np.float32)
+    got = np.asarray(resize2d(jnp.asarray(img), (5, 7), "tf1_bilinear"))
+    want = _tf1_bilinear_ref(img, 5, 7)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_weight_matrix_rows_sum_to_one():
+    for method in ["tf1_bilinear", "pil_bicubic", "pil_bilinear", "pil_lanczos"]:
+        w = resize_weight_matrix(37, 91, method)
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
+        w = resize_weight_matrix(91, 23, method)
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "method,pil_filter",
+    [
+        ("pil_bicubic", Image.BICUBIC),
+        ("pil_bilinear", Image.BILINEAR),
+        ("pil_lanczos", Image.LANCZOS),
+        ("pil_box", Image.BOX),
+    ],
+)
+@pytest.mark.parametrize("shape_out", [(16, 16), (64, 64), (23, 41)])
+def test_pil_parity_float(method, pil_filter, shape_out):
+    """Compare against PIL float ('F' mode) resampling — the exact oracle for
+    scipy.misc.imresize semantics (reference img_utils.py:107-111)."""
+    rng = np.random.default_rng(42)
+    src = (rng.random((32, 48)) * 255).astype(np.float32)
+    pil = Image.fromarray(src, mode="F").resize(
+        (shape_out[1], shape_out[0]), resample=pil_filter
+    )
+    want = np.asarray(pil)
+    got = np.asarray(resize2d(jnp.asarray(src[..., None]), shape_out, method))[..., 0]
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_pil_parity_uint8_bicubic_upscale():
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    pil = np.asarray(
+        Image.fromarray(src).resize((96, 96), resample=Image.BICUBIC)
+    ).astype(np.float32)
+    got = np.asarray(resize2d(jnp.asarray(src).astype(jnp.float32), (96, 96), "pil_bicubic"))
+    got = np.clip(np.round(got), 0, 255)
+    # PIL rounds per pixel in uint8; allow +-1 quantisation differences.
+    assert np.max(np.abs(got - pil)) <= 1.0
+
+
+def test_batched_resize_matches_unbatched():
+    rng = np.random.default_rng(4)
+    imgs = rng.random((3, 10, 12, 3)).astype(np.float32)
+    batched = np.asarray(resize2d(jnp.asarray(imgs), (40, 48), "tf1_bilinear"))
+    for i in range(3):
+        single = np.asarray(resize2d(jnp.asarray(imgs[i]), (40, 48), "tf1_bilinear"))
+        np.testing.assert_allclose(batched[i], single, atol=1e-6)

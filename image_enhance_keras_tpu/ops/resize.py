@@ -184,3 +184,28 @@ def resize_bicubic_pil(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
 def upscale_bilinear_x4(x: jnp.ndarray) -> jnp.ndarray:
     """The in-network x4 upsample of the flagship model (reference models.py:1193)."""
     return resize_bilinear_tf1(x, (4 * int(x.shape[-3]), 4 * int(x.shape[-2])))
+
+
+def resize_pil_uint8(
+    x: jnp.ndarray, out_hw: tuple[int, int], method: str = "pil_bicubic"
+) -> jnp.ndarray:
+    """PIL resampling with *uint8 image semantics* — the exact behaviour of
+    ``scipy.misc.imresize`` on uint8 data (reference img_utils.py:107-111).
+
+    PIL's uint8 path runs the horizontal pass first, rounds and clamps the
+    intermediate to [0, 255], then runs the vertical pass and rounds/clamps
+    again; bicubic overshoot is therefore clipped *between* passes, which the
+    float path doesn't do.  Input float 0..255 (or uint8); output float
+    holding exact uint8 values.
+    """
+    from jax import lax
+
+    h, w = int(x.shape[-3]), int(x.shape[-2])
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    xf = x.astype(jnp.float32)
+    ww = jnp.asarray(resize_weight_matrix(w, ow, method))
+    wh = jnp.asarray(resize_weight_matrix(h, oh, method))
+    y = jnp.einsum("pw,...hwc->...hpc", ww, xf, precision=lax.Precision.HIGHEST)
+    y = jnp.clip(jnp.round(y), 0.0, 255.0)
+    y = jnp.einsum("oh,...hpc->...opc", wh, y, precision=lax.Precision.HIGHEST)
+    return jnp.clip(jnp.round(y), 0.0, 255.0)

@@ -84,20 +84,22 @@ def test_pil_parity_float(method, pil_filter, shape_out):
     np.testing.assert_allclose(got, want, atol=2e-2)
 
 
-def test_pil_parity_uint8_bicubic_upscale():
+@pytest.mark.parametrize("out_hw", [(96, 96), (12, 12), (30, 50)])
+def test_pil_parity_uint8_bicubic(out_hw):
+    """resize_pil_uint8 reproduces PIL's uint8 semantics: horizontal pass,
+    round+clamp, vertical pass, round+clamp (scipy.misc.imresize behaviour)."""
+    from image_enhance_keras_tpu.ops.resize import resize_pil_uint8
+
     rng = np.random.default_rng(3)
     src = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
     pil = np.asarray(
-        Image.fromarray(src).resize((96, 96), resample=Image.BICUBIC)
+        Image.fromarray(src).resize((out_hw[1], out_hw[0]), resample=Image.BICUBIC)
     ).astype(np.float32)
-    got = np.asarray(resize2d(jnp.asarray(src).astype(jnp.float32), (96, 96), "pil_bicubic"))
-    got = np.clip(np.round(got), 0, 255)
-    # PIL's uint8 path uses 16-bit fixed-point coefficients + per-pixel
-    # rounding; the float path (previous test) matches exactly, the uint8
-    # path can differ by the odd quantisation step.
+    got = np.asarray(resize_pil_uint8(jnp.asarray(src), out_hw))
     diff = np.abs(got - pil)
-    assert np.max(diff) <= 2.0
-    assert np.mean(diff > 0.5) < 0.05
+    # remaining delta is PIL's 16-bit fixed-point coefficient quantisation
+    assert np.max(diff) <= 1.0
+    assert np.mean(diff > 0) < 0.05
 
 
 def test_batched_resize_matches_unbatched():

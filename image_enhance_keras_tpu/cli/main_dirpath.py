@@ -1,0 +1,78 @@
+"""Directory inference CLI — preserves the reference contract
+(main_dirpath.py:6-16): positional image directory, --model, --scale,
+--mode, --save_intermediate, --suffix, --patch_size; outputs
+`<stem>_<suffix>(<scale>x)<ext>` next to each input.
+
+Extensions over the reference: every zoo model is reachable (the reference
+asserts didbl-only, main_dirpath.py:27), --weights points at a Keras .h5 or
+an orbax checkpoint, --dtype bfloat16 enables the TPU serving profile, and
+--devices shards tiles across the mesh (parallel inference).
+
+Usage:  python -m image_enhance_keras_tpu.cli.main_dirpath <imgdir> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from image_enhance_keras_tpu.models import MODEL_REGISTRY
+from image_enhance_keras_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="x4 super-resolve every image in a directory")
+    p.add_argument("imgpath", help="directory of images to upscale")
+    p.add_argument("--model", default="didbl", choices=sorted(MODEL_REGISTRY))
+    p.add_argument("--scale", default=1, type=int, help="scale label used in output names")
+    p.add_argument("--mode", default="fast", choices=["fast", "patch"],
+                   help="kept for CLI parity; the tiled path is always used")
+    p.add_argument("--save_intermediate", default=False, action="store_true")
+    p.add_argument("--suffix", default="scaled", help="suffix of output images")
+    p.add_argument("--patch_size", default=96, type=int, help="tile size (reference: 96)")
+    p.add_argument("--step", default=64, type=int, help="tile step (reference: 64)")
+    p.add_argument("--weights", default=None, help="Keras .h5 or orbax checkpoint dir")
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--tile_chunk", default=16, type=int)
+    p.add_argument("--devices", default=1, type=int,
+                   help="shard tiles across this many devices (data-parallel inference)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    if args.devices > 1:
+        from image_enhance_keras_tpu.parallel import ShardedResolver as Resolver
+
+        resolver = Resolver(
+            model=args.model,
+            weights=args.weights,
+            dtype=dtype,
+            patch=args.patch_size,
+            step=args.step,
+            tile_chunk=args.tile_chunk,
+            n_devices=args.devices,
+        )
+    else:
+        from image_enhance_keras_tpu.engine import SuperResolver
+
+        resolver = SuperResolver(
+            model=args.model,
+            weights=args.weights,
+            dtype=dtype,
+            patch=args.patch_size,
+            step=args.step,
+            tile_chunk=args.tile_chunk,
+        )
+    outs = resolver.upscale_dir(args.imgpath, suffix=args.suffix, scale_label=args.scale)
+    log.info("wrote %d images", len(outs))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

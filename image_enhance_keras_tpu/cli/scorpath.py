@@ -1,0 +1,57 @@
+"""Scoring CLI — the scorpath.py contract: walk a directory, pair each ground
+truth with its `<stem>_<suffix>(<k>x)<ext>` sibling, print per-image and mean
+PSNR-Y / SSIM-Y / SSIM-RGB under the NTIRE protocol (scorpath.py:76-258).
+
+Also supports --generate: degrade each GT by --scale-factor, run the model,
+and score the reconstruction (the reference's `_evaluate` loop,
+models.py:1519) — the shape-consistent end-to-end quality gate.
+
+Usage:  python -m image_enhance_keras_tpu.cli.scorpath <dir> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="NTIRE PSNR/SSIM scoring")
+    p.add_argument("path_dir", nargs="?", default="val_images/set5nitre")
+    p.add_argument("--suffix", default="scaled")
+    p.add_argument("--scale", default=1, type=int, help="scale label in prediction names")
+    p.add_argument("--crop", default=10, type=int, help="border crop (reference: 10)")
+    p.add_argument("--json", default=None, help="write means to this JSON file")
+    p.add_argument("--generate", action="store_true",
+                   help="degrade+reconstruct with --model instead of reading saved outputs")
+    p.add_argument("--model", default="didbl")
+    p.add_argument("--weights", default=None)
+    p.add_argument("--scale-factor", default=4, type=int)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.generate:
+        from image_enhance_keras_tpu.engine import SuperResolver
+        from image_enhance_keras_tpu.eval import evaluate_resolver_on_dir
+
+        resolver = SuperResolver(model=args.model, weights=args.weights)
+        scores, means = evaluate_resolver_on_dir(
+            resolver, args.path_dir, scale=args.scale_factor, crop_border=args.crop
+        )
+    else:
+        from image_enhance_keras_tpu.eval import score_directory
+
+        scores, means = score_directory(
+            args.path_dir, suffix=args.suffix, scale_label=args.scale, crop_border=args.crop
+        )
+    if args.json and means:
+        with open(args.json, "w") as f:
+            json.dump(means, f, indent=2)
+    return 0 if scores else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,204 @@
+"""SuperResolver — the production inference engine.
+
+Reference path (models.py:184-416 ``upscaleStepPatch``): per image, a host
+Python tile loop, a *fresh Keras graph build + weight load per image*
+(models.py:338,357-359), per-tile batch-1 predicts, and a host paste loop.
+
+TPU-native redesign: one jitted program per padded-size bucket does
+
+    uint8 image -> pad -> extract tiles (gather) -> /255 -> conv tower over
+    the whole tile batch (chunked lax.map to bound HBM) -> *255 -> stitch
+    (gather) -> round/clip -> uint8 crop
+
+entirely on device.  Weights load once per process; recompiles happen only per
+distinct padded size (Set5 = a handful), and every compile is cached for the
+life of the process.  Host <-> device traffic is exactly one uint8 image up and
+one uint8 image down.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from image_enhance_keras_tpu.models import get_model, init_params
+from image_enhance_keras_tpu.models.keras_import import import_keras_weights
+from image_enhance_keras_tpu.ops.resize import resize_pil_uint8
+from image_enhance_keras_tpu.tiling import (
+    TilePlan,
+    plan_tiles,
+    pad_to_plan,
+    extract_tiles,
+    stitch_tiles,
+    crop_output,
+)
+from image_enhance_keras_tpu.data.io import imread, imwrite, list_images
+from image_enhance_keras_tpu.utils.logging import get_logger
+
+__all__ = ["SuperResolver", "output_name"]
+
+log = get_logger(__name__)
+
+
+def output_name(img_path: str, suffix: str = "scaled", scale_label: int = 1) -> str:
+    """`<stem>_<suffix>(<k>x)<ext>` — the reference naming contract
+    (models.py:204)."""
+    stem, ext = os.path.splitext(img_path)
+    return f"{stem}_{suffix}({scale_label}x){ext}"
+
+
+class SuperResolver:
+    """Directory / image / frame x4 upscaler around one model + params."""
+
+    def __init__(
+        self,
+        model: str = "didbl",
+        weights: str | None = None,
+        dtype: Any = None,
+        patch: int = 96,
+        step: int = 64,
+        crop: int = 8,
+        scalemulti: int = 4,
+        tile_chunk: int = 16,
+        params: Any = None,
+        seed: int = 0,
+    ):
+        self.model_name = model
+        self.module, self.spec = get_model(model, dtype=dtype)
+        self.patch = patch
+        self.step = step
+        self.crop = crop
+        self.scalemulti = scalemulti
+        self.tile_chunk = tile_chunk
+        self._jitted: dict[TilePlan, Any] = {}
+
+        if params is not None:
+            self.params = params
+        else:
+            self.params = init_params(
+                self.module, jax.random.PRNGKey(seed), input_hw=(32, 32)
+            )
+            if weights is not None:
+                self.load_weights(weights)
+        # keep params on device once
+        self.params = jax.device_put(self.params)
+
+    # ------------------------------------------------------------------
+    # weights
+    # ------------------------------------------------------------------
+    def load_weights(self, path: str) -> None:
+        """Load Keras .h5 (reference checkpoints) or an orbax directory."""
+        if path.endswith(".h5"):
+            self.params = import_keras_weights(path, self.model_name, self.params)
+        else:
+            from image_enhance_keras_tpu.train.checkpoints import restore_params
+
+            self.params = restore_params(path, self.params)
+        self.params = jax.device_put(self.params)
+
+    # ------------------------------------------------------------------
+    # jitted tiled pipeline (one compile per padded-size bucket)
+    # ------------------------------------------------------------------
+    def _pipeline_for(self, plan: TilePlan):
+        fn = self._jitted.get(plan)
+        if fn is not None:
+            return fn
+
+        module = self.module
+        chunk = self.tile_chunk
+        n = plan.n_tiles
+        n_pad = (n + chunk - 1) // chunk * chunk
+
+        def run(params, img_u8):
+            img = img_u8.astype(jnp.float32)
+            padded = pad_to_plan(img, plan)
+            tiles = extract_tiles(padded, plan) / 255.0
+            if n_pad != n:
+                tiles = jnp.concatenate(
+                    [tiles, jnp.zeros((n_pad - n,) + tiles.shape[1:], tiles.dtype)]
+                )
+            batches = tiles.reshape(n_pad // chunk, chunk, *tiles.shape[1:])
+            out = lax.map(lambda b: module.apply({"params": params}, b), batches)
+            out = out.reshape(n_pad, *out.shape[2:])[:n] * 255.0
+            canvas = stitch_tiles(out, plan)
+            result = crop_output(canvas, plan)
+            return jnp.clip(jnp.round(result), 0.0, 255.0).astype(jnp.uint8)
+
+        fn = jax.jit(run)
+        self._jitted[plan] = fn
+        return fn
+
+    def plan_for(self, height: int, width: int) -> TilePlan:
+        return plan_tiles(
+            height,
+            width,
+            patch=self.patch,
+            step=self.step,
+            scale=self.spec.net_scale,
+            crop=self.crop,
+        )
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def upscale(self, img: np.ndarray) -> np.ndarray:
+        """uint8 RGB (H, W, 3) -> uint8 RGB x4 via the tiled pipeline."""
+        img = np.asarray(img)
+        if self.spec.pre_upscaled_input:
+            # difvdsr family: net refines a bicubic-x4 input (models.py:652)
+            up = resize_pil_uint8(
+                jnp.asarray(img),
+                (img.shape[0] * self.scalemulti, img.shape[1] * self.scalemulti),
+            )
+            img = np.asarray(up).astype(np.uint8)
+        plan = self.plan_for(img.shape[0], img.shape[1])
+        fn = self._pipeline_for(plan)
+        return np.asarray(fn(self.params, jnp.asarray(img)))
+
+    def upscale_frame(self, frame: np.ndarray) -> np.ndarray:
+        """Single-frame API without tiling — the ``upVideo`` contract
+        (models.py:165-182): ndarray in, x4 ndarray out."""
+        x = jnp.asarray(frame).astype(jnp.float32)[None] / 255.0
+        y = self._frame_fn(x.shape[1:3])(self.params, x)
+        return np.asarray(
+            jnp.clip(jnp.round(y[0] * 255.0), 0, 255).astype(jnp.uint8)
+        )
+
+    @functools.lru_cache(maxsize=32)
+    def _frame_fn(self, hw):
+        return jax.jit(lambda p, x: self.module.apply({"params": p}, x))
+
+    def upscale_file(
+        self, img_path: str, suffix: str = "scaled", scale_label: int = 1
+    ) -> str:
+        t0 = time.time()
+        img = imread(img_path)
+        out = self.upscale(img)
+        dst = output_name(img_path, suffix, scale_label)
+        imwrite(dst, out)
+        log.info(
+            "%s (%dx%d) -> %s (%dx%d) in %.2fs",
+            os.path.basename(img_path), img.shape[1], img.shape[0],
+            os.path.basename(dst), out.shape[1], out.shape[0], time.time() - t0,
+        )
+        return dst
+
+    def upscale_dir(
+        self, dir_path: str, suffix: str = "scaled", scale_label: int = 1
+    ) -> list[str]:
+        """Directory walk + per-image tiled upscale (main_dirpath.py:50-55).
+        Skips images that already look like outputs of a previous run."""
+        outs = []
+        tag = f"_{suffix}("
+        for path in list_images(dir_path):
+            if tag in os.path.basename(path):
+                continue
+            outs.append(self.upscale_file(path, suffix, scale_label))
+        return outs

@@ -1,0 +1,92 @@
+"""Checkpointing: orbax-backed params + optimizer state + step.
+
+Supersedes the reference's weights-only HDF5 `ModelCheckpoint`
+(models.py:141-142): we persist the full train state (params, opt state, step,
+val metric) so resume continues optimisation instead of restarting it, and we
+keep the best-by-val-metric selection behaviour (`monitor=..., mode='max'`)
+plus the epoch/metric-encoded directory naming (models.py:1155).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+__all__ = ["save_params", "restore_params", "CheckpointManager"]
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_params(path: str, params: Any) -> None:
+    _checkpointer().save(os.path.abspath(path), params, force=True)
+
+
+def restore_params(path: str, like: Any = None) -> Any:
+    restored = _checkpointer().restore(os.path.abspath(path))
+    if like is not None:
+        # conform dtypes/structure to the template tree
+        restored = jax.tree_util.tree_map(
+            lambda t, r: np.asarray(r, dtype=t.dtype), like, restored
+        )
+    return restored
+
+
+class CheckpointManager:
+    """Best-k + latest checkpoints with an index file.
+
+    Directory layout:
+      <root>/latest/          — most recent full train state
+      <root>/best/            — best val-metric full train state
+      <root>/index.json       — step/epoch/metric bookkeeping
+    """
+
+    def __init__(self, root: str, monitor: str = "val_psnr", mode: str = "max"):
+        self.root = root
+        self.monitor = monitor
+        self.mode = mode
+        os.makedirs(root, exist_ok=True)
+        self._index_path = os.path.join(root, "index.json")
+        self.index = {"best_metric": None, "best_epoch": None, "epochs": []}
+        if os.path.exists(self._index_path):
+            with open(self._index_path) as f:
+                self.index = json.load(f)
+
+    def _better(self, a: float, b: float | None) -> bool:
+        if b is None:
+            return True
+        return a > b if self.mode == "max" else a < b
+
+    def save_epoch(self, state: Any, epoch: int, metrics: dict[str, float]) -> bool:
+        """Save `latest`; promote to `best` when the monitored metric improves.
+        Returns True when this epoch became the new best."""
+        val = float(metrics.get(self.monitor, float("nan")))
+        save_params(os.path.join(self.root, "latest"), state)
+        self.index["epochs"].append({"epoch": epoch, **metrics})
+        is_best = self._better(val, self.index.get("best_metric"))
+        if is_best and val == val:  # not NaN
+            save_params(os.path.join(self.root, "best"), state)
+            self.index["best_metric"] = val
+            self.index["best_epoch"] = epoch
+        with open(self._index_path, "w") as f:
+            json.dump(self.index, f, indent=2)
+        return is_best
+
+    def restore_latest(self, like: Any = None) -> Any | None:
+        p = os.path.join(self.root, "latest")
+        if not os.path.exists(p):
+            return None
+        return restore_params(p, like)
+
+    def restore_best(self, like: Any = None) -> Any | None:
+        p = os.path.join(self.root, "best")
+        if not os.path.exists(p):
+            return None
+        return restore_params(p, like)

@@ -1,0 +1,57 @@
+"""Single typed config replacing the reference's module-level constants and
+hard-coded literals (SURVEY.md section 5: img_utils.py:21-39, models.py:248,
+1203, 1217, main_dirpath.py:53)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass
+class Config:
+    # model
+    model: str = "didbl"
+    dtype: str = "float32"  # "bfloat16" for the serving profile
+    weights: str | None = None
+
+    # tiled inference (reference hard-codes 96/64/8: main_dirpath.py:53,
+    # models.py:248, img_utils.py:700)
+    patch: int = 96
+    step: int = 64
+    crop: int = 8
+    scalemulti: int = 4
+    tile_chunk: int = 16
+
+    # training (reference: Adam lr 1e-4 beta1 0.9, MSE, models.py:1203-1213)
+    lr: float = 1e-4
+    beta1: float = 0.9
+    batch_size: int = 10
+    epochs: int = 180
+    steps_per_epoch: int = 256
+    lr_patch: int = 24  # LR patch side; HR = lr_patch * 4
+    blur_sigma: float = 0.5  # degradation blur (img_utils.py:101)
+    checkpoint_dir: str = "weights_Double"
+    seed: int = 0
+
+    # eval (scorpath.py protocol)
+    eval_crop_border: int = 10
+    eval_suffix: str = "scaled"
+
+    def jax_dtype(self):
+        import jax.numpy as jnp
+
+        return {"float32": None, "bfloat16": jnp.bfloat16}[self.dtype]
+
+    @classmethod
+    def from_file(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls(**json.load(f))
+
+    def override(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **{k: v for k, v in kw.items() if v is not None})
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)

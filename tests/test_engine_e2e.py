@@ -1,0 +1,138 @@
+"""End-to-end pipeline tests: tiled inference mechanics, CLI contract,
+degrade->reconstruct->score loop.  Uses a tiny model config (2 blocks) so CPU
+tests stay fast; quality is not asserted (no pretrained weights ship with the
+reference repo), correctness of the plumbing is."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from image_enhance_keras_tpu.engine import SuperResolver, output_name
+from image_enhance_keras_tpu.models import get_model, init_params
+from image_enhance_keras_tpu.data.io import imread, imwrite
+from image_enhance_keras_tpu.eval import score_directory, evaluate_resolver_on_dir
+
+
+def _tiny_resolver(**kw):
+    """didbl with a 2-16-1 block config: same plumbing, ~40x less compute."""
+    r = SuperResolver.__new__(SuperResolver)
+    import jax
+
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+
+    module = DifvdsrDouble(features=16, n_body53=2, n_light=1, n_tail53=1)
+    r.model_name = "didbl_tiny"
+    r.module = module
+    r.spec = ModelSpec("didbl_tiny", lambda **k: module, 4, False, "tiny", "w")
+    r.patch = kw.get("patch", 48)
+    r.step = kw.get("step", 32)
+    r.crop = kw.get("crop", 8)
+    r.scalemulti = 4
+    r.tile_chunk = kw.get("tile_chunk", 4)
+    r._jitted = {}
+    r.params = init_params(module, jax.random.PRNGKey(0), input_hw=(16, 16))
+    return r
+
+
+def test_upscale_shape_and_dtype():
+    r = _tiny_resolver()
+    img = np.random.default_rng(0).integers(0, 256, (70, 90, 3), dtype=np.uint8)
+    out = r.upscale(img)
+    assert out.shape == (280, 360, 3)
+    assert out.dtype == np.uint8
+
+
+def test_upscale_matches_direct_forward_on_interior():
+    """Tiled pipeline == whole-image forward away from tile seams.
+
+    The conv tower has a finite receptive field; with 32-px overlap and 8-px
+    crop the interior of each tile sees identical context, so the stitched
+    result should be close to the untiled forward except at seam halos."""
+    r = _tiny_resolver()
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    tiled = r.upscale(img).astype(np.float32)
+    whole = r.upscale_frame(img).astype(np.float32)
+    # compare away from borders where padding context differs
+    d = np.abs(tiled[32:-32, 32:-32] - whole[32:-32, 32:-32])
+    assert np.mean(d) < 2.0
+
+
+def test_upscale_frame_shape():
+    r = _tiny_resolver()
+    img = np.random.default_rng(2).integers(0, 256, (24, 36, 3), dtype=np.uint8)
+    out = r.upscale_frame(img)
+    assert out.shape == (96, 144, 3)
+    assert out.dtype == np.uint8
+
+
+def test_output_name_contract():
+    assert output_name("/a/b/bird_GT.bmp") == "/a/b/bird_GT_scaled(1x).bmp"
+    assert output_name("x/img.png", "s", 4) == "x/img_s(4x).png"
+
+
+def test_dir_roundtrip_and_scoring(tmp_path):
+    """upscale_dir writes reference-named outputs; score_directory pairs them."""
+    r = _tiny_resolver()
+    rng = np.random.default_rng(3)
+    for name in ["a.png", "b.bmp"]:
+        imwrite(str(tmp_path / name), rng.integers(0, 256, (40, 44, 3), dtype=np.uint8))
+    outs = r.upscale_dir(str(tmp_path))
+    assert sorted(os.path.basename(o) for o in outs) == [
+        "a_scaled(1x).png",
+        "b_scaled(1x).bmp",
+    ]
+    # second run skips outputs
+    outs2 = r.upscale_dir(str(tmp_path))
+    assert len(outs2) == 2  # re-upscales originals only, not the outputs
+
+
+def test_evaluate_loop(tmp_path):
+    """degrade -> reconstruct -> score produces shape-consistent metrics."""
+    r = _tiny_resolver()
+    rng = np.random.default_rng(4)
+    # smooth synthetic image so even a random net is finite-scored
+    base = rng.random((10, 11, 3))
+    img = np.asarray(
+        jnp.clip(
+            jnp.round(
+                jnp.asarray(base).repeat(8, 0).repeat(8, 1) * 255.0
+            ), 0, 255
+        )
+    ).astype(np.uint8)
+    imwrite(str(tmp_path / "gt.png"), img)
+    scores, means = evaluate_resolver_on_dir(r, str(tmp_path), scale=4, verbose=False)
+    assert len(scores) == 1
+    assert np.isfinite(means["psnr_y"])
+    assert -1.0 <= means["ssim_y"] <= 1.0
+
+
+def test_bmp_fallback_codec(tmp_path):
+    """Pure-NumPy BMP writer/reader round-trips against PIL."""
+    from image_enhance_keras_tpu.data.io import _bmp_read, _bmp_write
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (21, 33, 3), dtype=np.uint8)
+    p = str(tmp_path / "t.bmp")
+    _bmp_write(p, img)
+    np.testing.assert_array_equal(np.asarray(Image.open(p).convert("RGB")), img)
+    Image.fromarray(img).save(p)
+    np.testing.assert_array_equal(_bmp_read(p), img)
+
+
+def test_golden_bmp_decode():
+    """Our BMP fallback decodes the reference golden files identically to PIL."""
+    from image_enhance_keras_tpu.data.io import _bmp_read
+    from PIL import Image
+
+    path = "/root/reference/val_images/set5nitre/bird_GT.bmp"
+    if not os.path.exists(path):
+        pytest.skip("reference assets unavailable")
+    np.testing.assert_array_equal(
+        _bmp_read(path), np.asarray(Image.open(path).convert("RGB"))
+    )

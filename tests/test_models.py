@@ -1,0 +1,123 @@
+"""Model zoo shape/structure tests + Keras HDF5 import round-trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_enhance_keras_tpu.models import get_model, init_params
+from image_enhance_keras_tpu.models.keras_import import (
+    keras_conv_order,
+    import_keras_weights,
+)
+
+
+@pytest.mark.parametrize(
+    "name,out_mult",
+    [("didbl", 4), ("didbl_subpixel", 4), ("difv4", 4), ("difvdsr", 1)],
+)
+def test_model_output_shapes(name, out_mult):
+    model, spec = get_model(name)
+    params = init_params(model, input_hw=(8, 8))
+    x = jnp.zeros((2, 8, 8, 3), jnp.float32)
+    y = model.apply({"params": params}, x)
+    assert y.shape == (2, 8 * out_mult, 8 * out_mult, 3)
+    assert spec.net_scale == out_mult
+    # relu output head: non-negative
+    assert float(jnp.min(y)) >= 0.0
+
+
+def test_didbl_param_count():
+    """didbl parameter census: 1x1x3x128 entry + 18 light53 (4 convs) +
+    6 light (2 convs) + 3x3x128x3 out — all 128-feature convs."""
+    model, _ = get_model("didbl")
+    params = init_params(model, input_hw=(8, 8))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    expect = 0
+    expect += 3 * 128 + 128  # level1 1x1
+    per53 = (9 + 25 + 25 + 9) * 128 * 128 + 4 * 128
+    expect += 18 * per53  # 16 body + 2 tail
+    expect += 6 * (2 * 9 * 128 * 128 + 2 * 128)  # light blocks
+    expect += 9 * 128 * 3 + 3  # out conv
+    assert n == expect
+
+
+def test_model_shapes_arbitrary_hw():
+    """No divisibility constraint: SAME convs + matmul resize handle any H,W."""
+    model, _ = get_model("didbl")
+    params = init_params(model, input_hw=(8, 8))
+    y = model.apply({"params": params}, jnp.zeros((1, 5, 9, 3)))
+    assert y.shape == (1, 20, 36, 3)
+
+
+def test_keras_conv_order_didbl():
+    order = keras_conv_order("didbl")
+    # 1 + 16*4 + 6*2 + 2*4 + 1 = 86 convs
+    assert len(order) == 86
+    assert order[0] == ("level1",)
+    assert order[1] == ("body53_0", "conv_a1")
+    assert order[-1] == ("out",)
+
+
+def _write_fake_keras_h5(path, shapes):
+    """Create a Keras-2.x-layout HDF5 with random conv weights."""
+    import h5py
+
+    rng = np.random.default_rng(0)
+    weights = []
+    with h5py.File(path, "w") as f:
+        mw = f.create_group("model_weights")
+        names = []
+        for i, (kh, kw, cin, cout) in enumerate(shapes):
+            lname = f"conv2d_{i}"
+            names.append(lname.encode())
+            g = mw.create_group(lname)
+            k = rng.normal(size=(kh, kw, cin, cout)).astype(np.float32)
+            b = rng.normal(size=(cout,)).astype(np.float32)
+            g.create_dataset(f"{lname}/kernel:0", data=k)
+            g.create_dataset(f"{lname}/bias:0", data=b)
+            g.attrs["weight_names"] = [
+                f"{lname}/kernel:0".encode(),
+                f"{lname}/bias:0".encode(),
+            ]
+            weights.append((k, b))
+        mw.attrs["layer_names"] = names
+    return weights
+
+
+def test_keras_import_roundtrip(tmp_path):
+    model, _ = get_model("didbl")
+    params = init_params(model, input_hw=(8, 8))
+    order = keras_conv_order("didbl")
+
+    def get_node(tree, keys):
+        for k in keys:
+            tree = tree[k]
+        return tree
+
+    shapes = []
+    for keys in order:
+        k = get_node(params, keys)["kernel"]
+        shapes.append(tuple(k.shape))
+    path = str(tmp_path / "fake.h5")
+    weights = _write_fake_keras_h5(path, shapes)
+
+    new_params = import_keras_weights(path, "didbl", params)
+    for (k, b), keys in zip(weights, order):
+        node = get_node(new_params, keys)
+        np.testing.assert_array_equal(np.asarray(node["kernel"]), k)
+        np.testing.assert_array_equal(np.asarray(node["bias"]), b)
+
+    # imported params run
+    y = model.apply({"params": new_params}, jnp.zeros((1, 8, 8, 3)))
+    assert y.shape == (1, 32, 32, 3)
+
+
+def test_keras_import_shape_mismatch_raises(tmp_path):
+    model, _ = get_model("didbl")
+    params = init_params(model, input_hw=(8, 8))
+    path = str(tmp_path / "bad.h5")
+    _write_fake_keras_h5(path, [(3, 3, 3, 7)] * len(keras_conv_order("didbl")))
+    with pytest.raises(ValueError):
+        import_keras_weights(path, "didbl", params)

@@ -1,0 +1,69 @@
+"""Training CLI — the learn.py contract (reference learn.py:1-22), extended.
+
+The reference trains DifvdsrDouble from materialised patch dirs with Keras
+fit_generator.  Here: `python -m image_enhance_keras_tpu.cli.learn
+[--train-dir DIR] [--val-dir DIR] [--model didbl] [--epochs 180] ...`
+trains any zoo model with the fused on-device pipeline; with no data dirs it
+runs a synthetic smoke fit.  ``--devices N`` trains data-parallel over an
+N-chip mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from image_enhance_keras_tpu.utils.config import Config
+from image_enhance_keras_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="train a super-resolution model")
+    p.add_argument("--model", default="didbl")
+    p.add_argument("--train-dir", default=None, help="directory of HR training images")
+    p.add_argument("--val-dir", default=None)
+    p.add_argument("--epochs", type=int, default=180)          # learn.py:22
+    p.add_argument("--batch-size", type=int, default=10)       # models.py:1225
+    p.add_argument("--steps-per-epoch", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-4)           # models.py:1203
+    p.add_argument("--lr-patch", type=int, default=24)
+    p.add_argument("--checkpoint-dir", default="weights_Double")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--devices", type=int, default=1)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = Config(
+        model=args.model,
+        dtype=args.dtype,
+        lr=args.lr,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        steps_per_epoch=args.steps_per_epoch,
+        lr_patch=args.lr_patch,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    from image_enhance_keras_tpu.data.pipeline import load_image_dir
+    from image_enhance_keras_tpu.train.trainer import Trainer
+
+    train_images = load_image_dir(args.train_dir) if args.train_dir else None
+    val_images = load_image_dir(args.val_dir) if args.val_dir else None
+    mesh = None
+    if args.devices > 1:
+        from image_enhance_keras_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.devices)
+    trainer = Trainer(cfg, train_images, val_images, mesh=mesh)
+    if args.resume:
+        trainer.resume()
+    trainer.fit()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,17 +26,27 @@ def _checkpointer():
 
 
 def save_params(path: str, params: Any) -> None:
-    _checkpointer().save(os.path.abspath(path), params, force=True)
+    """Persist any pytree (incl. custom nodes like TrainState / optax states)
+    by flattening to an ordered leaf list — restore rebuilds with the caller's
+    template treedef, so no custom-node registration is needed at load time."""
+    leaves = jax.tree_util.tree_leaves(params)
+    payload = {f"leaf_{i:05d}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    _checkpointer().save(os.path.abspath(path), payload, force=True)
 
 
 def restore_params(path: str, like: Any = None) -> Any:
-    restored = _checkpointer().restore(os.path.abspath(path))
-    if like is not None:
-        # conform dtypes/structure to the template tree
-        restored = jax.tree_util.tree_map(
-            lambda t, r: np.asarray(r, dtype=t.dtype), like, restored
+    payload = _checkpointer().restore(os.path.abspath(path))
+    leaves = [payload[k] for k in sorted(payload)]
+    if like is None:
+        return leaves
+    treedef = jax.tree_util.tree_structure(like)
+    want = jax.tree_util.tree_leaves(like)
+    if len(want) != len(leaves):
+        raise ValueError(
+            f"{path}: checkpoint has {len(leaves)} leaves, template has {len(want)}"
         )
-    return restored
+    leaves = [np.asarray(r, dtype=np.asarray(t).dtype) for t, r in zip(want, leaves)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 class CheckpointManager:

@@ -1,0 +1,222 @@
+"""Jitted trainer — the learn.py capability, done consistently.
+
+Behaviour contract kept from the reference (models.py:131-157, 1203-1213):
+Adam(1e-4, beta1=0.9), MSE on [0,1] floats, per-epoch validation with
+best-checkpoint selection, history persisted per epoch
+(advanced.py HistoryCheckpoint).  Superseded parts: the train step is one
+XLA program (degrade + forward + loss + grads + update fused on device), data
+is sampled on the fly (no materialised patch dirs), checkpoints carry
+optimizer state (true resume), and the step runs data-parallel over a mesh
+when one is provided (net-new vs the single-GPU reference, SURVEY.md 2.9).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from image_enhance_keras_tpu.models import get_model, init_params
+from image_enhance_keras_tpu.data.pipeline import (
+    PatchSampler,
+    degrade_batch_on_device,
+    synthetic_images,
+)
+from image_enhance_keras_tpu.train.checkpoints import CheckpointManager
+from image_enhance_keras_tpu.train.callbacks import HistoryLogger
+from image_enhance_keras_tpu.utils.config import Config
+from image_enhance_keras_tpu.utils.logging import get_logger
+
+__all__ = ["TrainState", "Trainer", "make_train_step"]
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int
+
+    def tree_flatten(self):  # pragma: no cover - registered below
+        return (self.params, self.opt_state, self.step), None
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params, s.opt_state, s.step), None),
+    lambda _, c: TrainState(*c),
+)
+
+
+def make_train_step(
+    module, tx, scale: int, blur_sigma: float, pre_upscale: bool = False
+) -> Callable:
+    """Build the fused degrade->forward->loss->update step (one XLA program).
+
+    ``pre_upscale``: difvdsr-family models refine a bicubic-upscaled input
+    (models.py:652) — upscale LR back to HR size before the net.
+    """
+
+    def net_input(lr_x):
+        if pre_upscale:
+            from image_enhance_keras_tpu.ops.resize import resize_bicubic_pil
+
+            return resize_bicubic_pil(
+                lr_x, (lr_x.shape[-3] * scale, lr_x.shape[-2] * scale)
+            )
+        return lr_x
+
+    def loss_fn(params, lr_x, hr_y):
+        pred = module.apply({"params": params}, net_input(lr_x))
+        loss = jnp.mean((pred - hr_y) ** 2)
+        return loss, pred
+
+    def step(state: TrainState, hr_u8: jnp.ndarray):
+        lr_x = degrade_batch_on_device(hr_u8, scale=scale, blur_sigma=blur_sigma)
+        hr_y = hr_u8.astype(jnp.float32) / 255.0
+        (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, lr_x, hr_y
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        psnr = -10.0 * jnp.log10(jnp.mean((pred - hr_y) ** 2))
+        return TrainState(params, opt_state, state.step + 1), {
+            "loss": loss,
+            "psnr": psnr,
+        }
+
+    return step
+
+
+def make_eval_step(module, scale: int, blur_sigma: float, pre_upscale: bool = False) -> Callable:
+    def step(params, hr_u8):
+        lr_x = degrade_batch_on_device(hr_u8, scale=scale, blur_sigma=blur_sigma)
+        hr_y = hr_u8.astype(jnp.float32) / 255.0
+        if pre_upscale:
+            from image_enhance_keras_tpu.ops.resize import resize_bicubic_pil
+
+            lr_x = resize_bicubic_pil(
+                lr_x, (lr_x.shape[-3] * scale, lr_x.shape[-2] * scale)
+            )
+        pred = module.apply({"params": params}, lr_x)
+        mse = jnp.mean((pred - hr_y) ** 2)
+        return {"val_loss": mse, "val_psnr": -10.0 * jnp.log10(mse)}
+
+    return step
+
+
+class Trainer:
+    """Single-chip or data-parallel trainer for any zoo model."""
+
+    def __init__(
+        self,
+        config: Config | None = None,
+        train_images: list[np.ndarray] | None = None,
+        val_images: list[np.ndarray] | None = None,
+        mesh=None,
+    ):
+        self.config = config or Config()
+        cfg = self.config
+        self.module, self.spec = get_model(cfg.model, dtype=cfg.jax_dtype())
+        pre_up = self.spec.pre_upscaled_input
+        if self.spec.net_scale != 4 and not pre_up:
+            raise ValueError("trainer currently targets x4 generators")
+
+        if train_images is None:
+            log.warning("no training images provided; using synthetic smoke set")
+            train_images = synthetic_images(8, max(128, cfg.lr_patch * 4 + 8))
+        if val_images is None:
+            val_images = train_images[:2]
+
+        hr_patch = cfg.lr_patch * 4
+        self.sampler = PatchSampler(
+            train_images, hr_patch=hr_patch, batch_size=cfg.batch_size, seed=cfg.seed
+        )
+        self.val_sampler = PatchSampler(
+            val_images, hr_patch=hr_patch, batch_size=cfg.batch_size, seed=cfg.seed + 1
+        )
+
+        self.tx = optax.adam(cfg.lr, b1=cfg.beta1)
+        params = init_params(
+            self.module, jax.random.PRNGKey(cfg.seed), input_hw=(cfg.lr_patch, cfg.lr_patch)
+        )
+        self.state = TrainState(params, self.tx.init(params), 0)
+
+        self.mesh = mesh
+        step = make_train_step(self.module, self.tx, 4, cfg.blur_sigma, pre_up)
+        eval_step = make_eval_step(self.module, 4, cfg.blur_sigma, pre_up)
+        if mesh is not None:
+            from image_enhance_keras_tpu.parallel.data_parallel import (
+                shard_train_step,
+                shard_eval_step,
+            )
+
+            self.train_step = shard_train_step(step, mesh)
+            self.eval_step = shard_eval_step(eval_step, mesh)
+            self.state = jax.device_put(
+                self.state,
+                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+            )
+        else:
+            self.train_step = jax.jit(step)
+            self.eval_step = jax.jit(eval_step)
+
+        self.ckpt = CheckpointManager(cfg.checkpoint_dir, monitor="val_psnr", mode="max")
+        self.history = HistoryLogger(f"{cfg.checkpoint_dir}/history.json")
+
+    # ------------------------------------------------------------------
+    def resume(self) -> bool:
+        restored = self.ckpt.restore_latest(like=self.state)
+        if restored is None:
+            return False
+        self.state = restored
+        log.info("resumed from step %s", int(self.state.step))
+        return True
+
+    def fit(
+        self,
+        epochs: int | None = None,
+        steps_per_epoch: int | None = None,
+        val_steps: int = 4,
+    ) -> dict:
+        cfg = self.config
+        epochs = epochs or cfg.epochs
+        steps_per_epoch = steps_per_epoch or cfg.steps_per_epoch
+        for epoch in range(1, epochs + 1):
+            t0 = time.time()
+            losses, psnrs = [], []
+            for _ in range(steps_per_epoch):
+                batch = jnp.asarray(self.sampler.sample())
+                self.state, metrics = self.train_step(self.state, batch)
+                losses.append(metrics["loss"])
+                psnrs.append(metrics["psnr"])
+            val = {}
+            vals = [
+                self.eval_step(self.state.params, jnp.asarray(self.val_sampler.sample()))
+                for _ in range(val_steps)
+            ]
+            val = {
+                k: float(np.mean([float(v[k]) for v in vals])) for k in vals[0]
+            }
+            epoch_metrics = {
+                "loss": float(np.mean([float(x) for x in losses])),
+                "psnr": float(np.mean([float(x) for x in psnrs])),
+                **val,
+                "sec": time.time() - t0,
+            }
+            is_best = self.ckpt.save_epoch(self.state, epoch, epoch_metrics)
+            self.history.log_epoch(epoch, epoch_metrics)
+            log.info(
+                "epoch %d/%d loss %.5f psnr %.2f val_psnr %.2f (%.1fs)%s",
+                epoch, epochs, epoch_metrics["loss"], epoch_metrics["psnr"],
+                epoch_metrics.get("val_psnr", float("nan")), epoch_metrics["sec"],
+                " *best*" if is_best else "",
+            )
+        return self.history.as_dict()

@@ -1,0 +1,119 @@
+"""Trainer tests: loss decreases on a tiny synthetic fit; checkpoints/history
+round-trip; the disk-based prepare_data + generator compat path works."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from image_enhance_keras_tpu.utils.config import Config
+
+
+def _tiny_cfg(tmp_path, **kw):
+    base = dict(
+        model="didbl",
+        batch_size=4,
+        lr=1e-3,
+        lr_patch=8,
+        steps_per_epoch=4,
+        epochs=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _tiny_trainer(tmp_path, mesh=None, **kw):
+    # patch the zoo didbl to a small config for CPU speed
+    from image_enhance_keras_tpu.train import trainer as trainer_mod
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+
+    cfg = _tiny_cfg(tmp_path, **kw)
+    tiny_module = DifvdsrDouble(features=8, n_body53=1, n_light=1, n_tail53=0)
+    orig = trainer_mod.get_model
+    trainer_mod.get_model = lambda name, dtype=None: (
+        tiny_module,
+        ModelSpec(name, lambda **k: tiny_module, 4, False, "tiny", "w"),
+    )
+    try:
+        t = trainer_mod.Trainer(cfg, mesh=mesh)
+    finally:
+        trainer_mod.get_model = orig
+    return t
+
+
+def test_degrade_batch_matches_reference_ops():
+    from image_enhance_keras_tpu.data.pipeline import degrade_batch_on_device
+    from image_enhance_keras_tpu.ops.filters import gaussian_blur
+    from image_enhance_keras_tpu.ops.resize import resize_pil_uint8
+
+    rng = np.random.default_rng(0)
+    hr = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    got = np.asarray(degrade_batch_on_device(jnp.asarray(hr), scale=4))
+    blurred = jnp.clip(jnp.round(gaussian_blur(jnp.asarray(hr).astype(jnp.float32), 0.5)), 0, 255)
+    want = np.asarray(resize_pil_uint8(blurred, (8, 8))) / 255.0
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_fit_decreases_loss_and_checkpoints(tmp_path):
+    t = _tiny_trainer(tmp_path, epochs=3, steps_per_epoch=8)
+    hist = t.fit()
+    assert hist["loss"][-1] < hist["loss"][0]
+    # checkpoints + history exist
+    assert os.path.exists(os.path.join(t.config.checkpoint_dir, "latest"))
+    assert os.path.exists(os.path.join(t.config.checkpoint_dir, "best"))
+    with open(os.path.join(t.config.checkpoint_dir, "history.json")) as f:
+        h = json.load(f)
+    assert len(h["epoch"]) == 3
+    assert "val_psnr" in h
+
+
+def test_resume_restores_step(tmp_path):
+    t = _tiny_trainer(tmp_path, epochs=1, steps_per_epoch=3)
+    t.fit()
+    step_after = int(t.state.step)
+    t2 = _tiny_trainer(tmp_path, epochs=1, steps_per_epoch=3)
+    assert t2.resume()
+    assert int(t2.state.step) == step_after
+
+
+def test_data_parallel_matches_single_device(tmp_path):
+    """DP over the 8-device CPU mesh computes the same updates as 1 device."""
+    from image_enhance_keras_tpu.parallel import make_mesh
+
+    t1 = _tiny_trainer(tmp_path / "a", epochs=1, steps_per_epoch=4, batch_size=8)
+    mesh = make_mesh(8)
+    t8 = _tiny_trainer(tmp_path / "b", mesh=mesh, epochs=1, steps_per_epoch=4, batch_size=8)
+    h1 = t1.fit()
+    h8 = t8.fit()
+    np.testing.assert_allclose(h1["loss"], h8["loss"], rtol=2e-4)
+    # resulting params identical up to numerics
+    import jax
+
+    l1 = jax.tree_util.tree_leaves(t1.state.params)
+    l8 = jax.tree_util.tree_leaves(t8.state.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_prepare_data_and_generator(tmp_path):
+    from image_enhance_keras_tpu.cli.prepare_data import prepare
+    from image_enhance_keras_tpu.data.generator import image_count, paired_patch_generator
+    from image_enhance_keras_tpu.data.io import imwrite
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    rng = np.random.default_rng(0)
+    imwrite(str(src / "a.png"), rng.integers(0, 256, (64, 80, 3), dtype=np.uint8))
+    out = str(tmp_path / "patches")
+    n = prepare(str(src), out, scale=2, img_size=64, stride=32)
+    assert n == image_count(out) > 0
+    gen = paired_patch_generator(out, batch_size=2, seed=0)
+    bx, by = next(gen)
+    assert bx.shape == (2, 32, 32, 3)  # not true_upscale: LR re-upsampled to HR size
+    assert by.shape == (2, 32, 32, 3)
+    assert bx.dtype == np.float32 and bx.max() <= 1.0

@@ -6,3 +6,7 @@ from image_enhance_keras_tpu.tiling.tiles import (  # noqa: F401
     stitch_tiles,
     crop_output,
 )
+from image_enhance_keras_tpu.tiling.dense import (  # noqa: F401
+    extract_dense_patches,
+    reconstruct_average,
+)

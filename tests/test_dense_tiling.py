@@ -1,0 +1,82 @@
+"""Dense patch plane + adjustment ops tests (sklearn-order oracle loops)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_enhance_keras_tpu.tiling.dense import (
+    extract_dense_patches,
+    reconstruct_average,
+)
+from image_enhance_keras_tpu.ops.adjust import set_gamma, set_contrast, smooth_gan_labels
+
+
+def _extract_oracle(img, p, step):
+    out = []
+    for y in range(0, img.shape[0] - p + 1, step):
+        for x in range(0, img.shape[1] - p + 1, step):
+            out.append(img[y : y + p, x : x + p])
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("step", [1, 3])
+def test_extract_dense_matches_oracle(step):
+    rng = np.random.default_rng(0)
+    img = rng.random((12, 14, 3)).astype(np.float32)
+    got = np.asarray(extract_dense_patches(jnp.asarray(img), 5, step))
+    want = _extract_oracle(img, 5, step)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_reconstruct_average_identity_stride1():
+    """Dense stride-1 extract -> average rebuild is the identity (the sklearn
+    reconstruct_from_patches_2d property, img_utils.py:189-238)."""
+    rng = np.random.default_rng(1)
+    img = rng.random((10, 12, 3)).astype(np.float32)
+    patches = extract_dense_patches(jnp.asarray(img), 4, 1)
+    back = reconstruct_average(patches, (10, 12), step=1, pad=0)
+    np.testing.assert_allclose(np.asarray(back), img, atol=1e-5)
+
+
+def test_reconstruct_average_oracle_with_pad():
+    """Stride grid with interior trim matches a loop oracle
+    (reconstruct_from_patches_2dlocal, img_utils.py:442-511)."""
+    rng = np.random.default_rng(2)
+    h, w, p, step, pad = 16, 16, 8, 4, 2
+    img = rng.random((h, w, 3)).astype(np.float32)
+    patches = np.asarray(extract_dense_patches(jnp.asarray(img), p, step))
+
+    acc = np.zeros((h, w, 3))
+    cnt = np.zeros((h, w, 1))
+    ys = list(range(0, h - p + 1, step))
+    xs = list(range(0, w - p + 1, step))
+    k = 0
+    for y in ys:
+        for x in xs:
+            y0 = 0 if y == 0 else pad
+            y1 = p if y == ys[-1] else p - pad
+            x0 = 0 if x == 0 else pad
+            x1 = p if x == xs[-1] else p - pad
+            acc[y + y0 : y + y1, x + x0 : x + x1] += patches[k, y0:y1, x0:x1]
+            cnt[y + y0 : y + y1, x + x0 : x + x1] += 1
+            k += 1
+    want = acc / np.maximum(cnt, 1)
+
+    got = np.asarray(reconstruct_average(jnp.asarray(patches), (h, w), step=step, pad=pad))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_set_gamma_contrast():
+    img = jnp.asarray([[[0.0, 127.5, 255.0]]])
+    np.testing.assert_allclose(np.asarray(set_gamma(img, 1.0))[0, 0], [0, 128, 255], atol=1)
+    out = np.asarray(set_contrast(img, 0.5))[0, 0]
+    np.testing.assert_allclose(out, [64, 128, 191], atol=1)
+
+
+def test_smooth_gan_labels_ranges():
+    y = jnp.asarray([0.0, 1.0, 0.0, 1.0])
+    s = np.asarray(smooth_gan_labels(y, jax.random.PRNGKey(0)))
+    assert (s[y == 0] <= 0.3).all() and (s[y == 0] >= 0.0).all()
+    assert (s[np.asarray(y) == 1] >= 0.7).all() and (s[np.asarray(y) == 1] <= 1.2).all()

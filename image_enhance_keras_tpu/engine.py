@@ -69,9 +69,14 @@ class SuperResolver:
         tile_chunk: int = 16,
         params: Any = None,
         seed: int = 0,
+        forward: str = "xla",
     ):
         self.model_name = model
         self.module, self.spec = get_model(model, dtype=dtype)
+        self._dtype = dtype
+        self.forward_mode = forward
+        if forward == "pallas" and not model.startswith("didbl"):
+            raise ValueError("pallas forward is implemented for the didbl family")
         self.patch = patch
         self.step = step
         self.crop = crop
@@ -111,7 +116,7 @@ class SuperResolver:
         if fn is not None:
             return fn
 
-        module = self.module
+        forward = self._forward_fn()
         chunk = self.tile_chunk
         n = plan.n_tiles
         n_pad = (n + chunk - 1) // chunk * chunk
@@ -125,7 +130,7 @@ class SuperResolver:
                     [tiles, jnp.zeros((n_pad - n,) + tiles.shape[1:], tiles.dtype)]
                 )
             batches = tiles.reshape(n_pad // chunk, chunk, *tiles.shape[1:])
-            out = lax.map(lambda b: module.apply({"params": params}, b), batches)
+            out = lax.map(lambda b: forward(params, b), batches)
             out = out.reshape(n_pad, *out.shape[2:])[:n] * 255.0
             canvas = stitch_tiles(out, plan)
             result = crop_output(canvas, plan)
@@ -134,6 +139,26 @@ class SuperResolver:
         fn = jax.jit(run)
         self._jitted[plan] = fn
         return fn
+
+    def _forward_fn(self):
+        """params, (N,h,w,3)[0,1] -> (N,sh,sw,3): XLA flax apply or the
+        Pallas-fused didbl forward (same param tree, same math)."""
+        mode = getattr(self, "forward_mode", "xla")
+        if mode == "pallas":
+            from image_enhance_keras_tpu.models.didbl_pallas import apply_didbl_pallas
+
+            m = self.module
+            return lambda params, b: apply_didbl_pallas(
+                params,
+                b,
+                dtype=getattr(self, "_dtype", None),
+                n_body53=m.n_body53,
+                n_light=m.n_light,
+                n_tail53=m.n_tail53,
+                scale=m.scale,
+            )
+        module = self.module
+        return lambda params, b: module.apply({"params": params}, b)
 
     def plan_for(self, height: int, width: int) -> TilePlan:
         return plan_tiles(

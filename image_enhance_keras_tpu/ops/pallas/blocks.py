@@ -1,0 +1,164 @@
+"""Pallas TPU kernels: fused residual blocks.
+
+The flagship tower is 16x Light53 + 6x Light blocks (reference
+models.py:1177-1199) — per block, 2-4 SAME convs plus elementwise
+scale/add epilogues.  XLA runs each conv as its own kernel with the
+intermediate activations round-tripping through HBM; these kernels keep a
+whole residual block VMEM-resident: the input tile (plus conv halo) is read
+from HBM once, both branch towers run as shifted-slice MXU matmuls out of
+VMEM scratch, and only the block output is written back.
+
+HBM traffic per Light53 block drops from ~6 activation tensors (x, 4
+intermediates, out) to 2 (x, out) — a 3x cut on the bandwidth-bound side of
+the roofline while the matmuls stay on the MXU.
+
+Layout notes (pallas_guide.md):
+  * channel count 128 == lane width; im2col rows are (H*W, C) with C on the
+    lane dimension, so every dot is a (H*W, 128) x (128, 128) MXU matmul;
+  * accumulation in f32 (`preferred_element_type`), params f32, activations
+    cast to the compute dtype outside;
+  * grid = one program per tile in the batch; whole 96x96x128 tiles plus
+    halo fit comfortably in the ~16MB of VMEM (2.6MB bf16 / 5.3MB f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_light_block", "fused_light53_block"]
+
+
+def _conv_shifted(x, w, out_h: int, out_w: int, k: int):
+    """VALID kxk conv of x (h, w, Cin) -> (out_h*out_w, Cout) via k*k shifted
+    MXU matmuls. ``w`` is (k, k, Cin, Cout); accumulation in f32."""
+    cin = x.shape[-1]
+    cout = w.shape[-1]
+    acc = jnp.zeros((out_h * out_w, cout), jnp.float32)
+    for dy in range(k):
+        for dx in range(k):
+            xs = x[dy : dy + out_h, dx : dx + out_w, :].reshape(out_h * out_w, cin)
+            acc += jnp.dot(
+                xs, w[dy, dx], preferred_element_type=jnp.float32
+            )
+    return acc
+
+
+def _relu_pad(t_flat, h, w, pad, dtype):
+    """(h*w, C) f32 -> relu -> zero-pad spatially by `pad` -> (h+2p, w+2p, C).
+
+    SAME-conv chains zero-pad the *intermediate* activation — values in the
+    halo ring are zeros, not conv outputs computed over padded input.
+    """
+    t = jnp.maximum(t_flat, 0.0).reshape(h, w, -1)
+    return jnp.pad(t, ((pad, pad), (pad, pad), (0, 0))).astype(dtype)
+
+
+def _light_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, h, w, res_scale):
+    """x + res_scale * conv3(relu(conv3(x))); x_ref zero-padded by 1/side."""
+    dt = x_ref.dtype
+    x = x_ref[0]
+    t = _conv_shifted(x, w1_ref[...], h, w, 3) + b1_ref[...].astype(jnp.float32)
+    t = _relu_pad(t, h, w, 1, dt)
+    u = _conv_shifted(t, w2_ref[...], h, w, 3) + b2_ref[...].astype(jnp.float32)
+    ident = x[1 : 1 + h, 1 : 1 + w, :].reshape(h * w, -1).astype(jnp.float32)
+    out = ident + res_scale * u
+    out_ref[0] = out.reshape(h, w, -1).astype(dt)
+
+
+def _light53_kernel(
+    x_ref,
+    wa1_ref, ba1_ref, wa2_ref, ba2_ref,
+    wb1_ref, bb1_ref, wb2_ref, bb2_ref,
+    out_ref,
+    *, h, w, res_scale, identity_scale,
+):
+    """identity_scale*x + res_scale*(conv5(relu(conv3(x))) + conv3(relu(conv5(x))));
+    x_ref zero-padded by 2 per side (the conv5 halo)."""
+    dt = x_ref.dtype
+    x = x_ref[0]
+    # branch a: conv3 (uses the 1-padded interior) -> relu/zero-pad 2 -> conv5
+    ta = _conv_shifted(
+        x[1 : 1 + h + 2, 1 : 1 + w + 2, :], wa1_ref[...], h, w, 3
+    ) + ba1_ref[...].astype(jnp.float32)
+    ta = _relu_pad(ta, h, w, 2, dt)
+    ya = _conv_shifted(ta, wa2_ref[...], h, w, 5) + ba2_ref[...].astype(jnp.float32)
+
+    # branch b: conv5 -> relu/zero-pad 1 -> conv3
+    tb = _conv_shifted(x, wb1_ref[...], h, w, 5) + bb1_ref[...].astype(jnp.float32)
+    tb = _relu_pad(tb, h, w, 1, dt)
+    yb = _conv_shifted(tb, wb2_ref[...], h, w, 3) + bb2_ref[...].astype(jnp.float32)
+
+    ident = x[2 : 2 + h, 2 : 2 + w, :].reshape(h * w, -1).astype(jnp.float32)
+    out = identity_scale * ident + res_scale * (ya + yb)
+    out_ref[0] = out.reshape(h, w, -1).astype(dt)
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("res_scale", "interpret"))
+def fused_light_block(x, w1, b1, w2, b2, res_scale: float = 0.1, interpret: bool | None = None):
+    """Batched fused Light block. x: (N, H, W, C) unpadded; SAME semantics."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dt = x.dtype
+    kernel = functools.partial(_light_kernel, h=h, w=w, res_scale=res_scale)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), dt),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h + 2, w + 2, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c, c), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c, c), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp, w1.astype(dt), b1, w2.astype(dt), b2)
+
+
+@functools.partial(jax.jit, static_argnames=("res_scale", "identity_scale", "interpret"))
+def fused_light53_block(
+    x,
+    wa1, ba1, wa2, ba2,
+    wb1, bb1, wb2, bb2,
+    res_scale: float = 0.1,
+    identity_scale: float = 0.9,
+    interpret: bool | None = None,
+):
+    """Batched fused Light53 block. x: (N, H, W, C) unpadded; SAME semantics."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    dt = x.dtype
+    kernel = functools.partial(
+        _light53_kernel, h=h, w=w, res_scale=res_scale, identity_scale=identity_scale
+    )
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), dt),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h + 4, w + 4, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            full((3, 3, c, c)), full((c,)), full((5, 5, c, c)), full((c,)),
+            full((5, 5, c, c)), full((c,)), full((3, 3, c, c)), full((c,)),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        xp,
+        wa1.astype(dt), ba1, wa2.astype(dt), ba2,
+        wb1.astype(dt), bb1, wb2.astype(dt), bb2,
+    )

@@ -27,8 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("imgpath", help="directory of images to upscale")
     p.add_argument("--model", default="didbl", choices=sorted(MODEL_REGISTRY))
     p.add_argument("--scale", default=1, type=int, help="scale label used in output names")
-    p.add_argument("--mode", default="fast", choices=["fast", "patch"],
-                   help="kept for CLI parity; the tiled path is always used")
+    p.add_argument("--mode", default="patch", choices=["fast", "patch"],
+                   help="patch: reference-exact overlapped tiling; fast: whole-frame forward")
+    p.add_argument("--forward", default="xla", choices=["xla", "pallas"],
+                   help="conv tower execution path (pallas = fused VMEM kernels)")
     p.add_argument("--save_intermediate", default=False, action="store_true")
     p.add_argument("--suffix", default="scaled", help="suffix of output images")
     p.add_argument("--patch_size", default=96, type=int, help="tile size (reference: 96)")
@@ -56,6 +58,8 @@ def main(argv=None) -> int:
             patch=args.patch_size,
             step=args.step,
             tile_chunk=args.tile_chunk,
+            mode=args.mode,
+            forward=args.forward,
             n_devices=args.devices,
         )
     else:
@@ -68,6 +72,8 @@ def main(argv=None) -> int:
             patch=args.patch_size,
             step=args.step,
             tile_chunk=args.tile_chunk,
+            mode=args.mode,
+            forward=args.forward,
         )
     outs = resolver.upscale_dir(args.imgpath, suffix=args.suffix, scale_label=args.scale)
     log.info("wrote %d images", len(outs))

@@ -33,7 +33,12 @@ def _tiny_resolver(**kw):
     r.crop = kw.get("crop", 8)
     r.scalemulti = 4
     r.tile_chunk = kw.get("tile_chunk", 4)
+    r.mode = kw.get("mode", "patch")
+    r.fast_max_pixels = 1 << 20
+    r.forward_mode = "xla"
+    r._dtype = None
     r._jitted = {}
+    r._jitted_fast = {}
     r.params = init_params(module, jax.random.PRNGKey(0), input_hw=(16, 16))
     return r
 
@@ -60,6 +65,27 @@ def test_upscale_matches_direct_forward_on_interior():
     # compare away from borders where padding context differs
     d = np.abs(tiled[32:-32, 32:-32] - whole[32:-32, 32:-32])
     assert np.mean(d) < 2.0
+
+
+def test_fast_mode_matches_tiled_interior():
+    """mode='fast' (whole-frame) equals the tiled path away from tile seams
+    and falls back to tiling for oversized inputs."""
+    r_tiled = _tiny_resolver()
+    r_fast = _tiny_resolver()
+    r_fast.mode = "fast"
+    r_fast.fast_max_pixels = 1 << 20
+    r_fast._jitted_fast = {}
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (64, 72, 3), dtype=np.uint8)
+    a = r_tiled.upscale(img).astype(np.float32)
+    b = r_fast.upscale(img).astype(np.float32)
+    assert a.shape == b.shape
+    d = np.abs(a[48:-48, 48:-48] - b[48:-48, 48:-48])
+    assert np.mean(d) < 2.0
+    # fallback path: shrink the budget, same API keeps working
+    r_fast.fast_max_pixels = 16
+    c = r_fast.upscale(img)
+    np.testing.assert_array_equal(c, r_tiled.upscale(img))
 
 
 def test_upscale_frame_shape():

@@ -47,7 +47,12 @@ def test_sharded_resolver_matches_single_device():
         r.crop = 8
         r.scalemulti = 4
         r.tile_chunk = 8
+        r.mode = "patch"
+        r.fast_max_pixels = 1 << 20
+        r.forward_mode = "xla"
+        r._dtype = None
         r._jitted = {}
+        r._jitted_fast = {}
         r.params = params
         for k, v in extra.items():
             setattr(r, k, v)

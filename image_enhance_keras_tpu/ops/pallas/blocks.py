@@ -102,12 +102,32 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom below the ~16MB of VMEM
+
+
+def _check_vmem(h: int, w: int, c: int, dtype, halo: int, n_bufs: int) -> None:
+    """Fail fast with a clear error instead of a Mosaic OOM: these kernels
+    keep the whole (h+2*halo, w+2*halo, c) tile plus intermediates resident.
+    Spatial tiles above ~128x128 at c=128 need the halo-DMA variant
+    (roadmap) — use the XLA path there (models/didbl_pallas.py does)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    need = (h + 2 * halo) * (w + 2 * halo) * c * itemsize * n_bufs
+    if need > _VMEM_BUDGET:
+        raise ValueError(
+            f"fused block tile ({h}x{w}x{c}, {jnp.dtype(dtype).name}) needs "
+            f"~{need >> 20}MB of VMEM (> {_VMEM_BUDGET >> 20}MB budget); "
+            "use smaller spatial tiles or the XLA path"
+        )
+
+
 @functools.partial(jax.jit, static_argnames=("res_scale", "interpret"))
 def fused_light_block(x, w1, b1, w2, b2, res_scale: float = 0.1, interpret: bool | None = None):
     """Batched fused Light block. x: (N, H, W, C) unpadded; SAME semantics."""
     if interpret is None:
         interpret = _interpret_default()
     n, h, w, c = x.shape
+    if not interpret:
+        _check_vmem(h, w, c, x.dtype, halo=1, n_bufs=4)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     dt = x.dtype
     kernel = functools.partial(_light_kernel, h=h, w=w, res_scale=res_scale)
@@ -140,6 +160,8 @@ def fused_light53_block(
     if interpret is None:
         interpret = _interpret_default()
     n, h, w, c = x.shape
+    if not interpret:
+        _check_vmem(h, w, c, x.dtype, halo=2, n_bufs=5)
     xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
     dt = x.dtype
     kernel = functools.partial(

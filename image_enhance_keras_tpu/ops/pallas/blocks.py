@@ -78,23 +78,32 @@ def _light53_kernel(
     *, h, w, res_scale, identity_scale,
 ):
     """identity_scale*x + res_scale*(conv5(relu(conv3(x))) + conv3(relu(conv5(x))));
-    x_ref zero-padded by 2 per side (the conv5 halo)."""
+    x_ref zero-padded by 2 per side (the conv5 halo).
+
+    VMEM discipline: one shared f32 accumulator carries
+    ident*scale + branch_a + branch_b — intermediates are cast back to the
+    compute dtype as soon as their conv finishes, keeping the peak footprint
+    under the ~16MB scoped limit for 96x96x128 tiles.
+    """
     dt = x_ref.dtype
     x = x_ref[0]
-    # branch a: conv3 (uses the 1-padded interior) -> relu/zero-pad 2 -> conv5
+    ident = x[2 : 2 + h, 2 : 2 + w, :].reshape(h * w, -1).astype(jnp.float32)
+    bias_sum = (ba2_ref[...] + bb2_ref[...]).astype(jnp.float32)
+    acc = (identity_scale / res_scale) * ident + bias_sum
+
+    # branch a: conv3 (1-padded interior) -> relu/zero-pad 2 -> conv5
     ta = _conv_shifted(
         x[1 : 1 + h + 2, 1 : 1 + w + 2, :], wa1_ref[...], h, w, 3
     ) + ba1_ref[...].astype(jnp.float32)
     ta = _relu_pad(ta, h, w, 2, dt)
-    ya = _conv_shifted(ta, wa2_ref[...], h, w, 5) + ba2_ref[...].astype(jnp.float32)
+    acc = acc + _conv_shifted(ta, wa2_ref[...], h, w, 5)
 
     # branch b: conv5 -> relu/zero-pad 1 -> conv3
     tb = _conv_shifted(x, wb1_ref[...], h, w, 5) + bb1_ref[...].astype(jnp.float32)
     tb = _relu_pad(tb, h, w, 1, dt)
-    yb = _conv_shifted(tb, wb2_ref[...], h, w, 3) + bb2_ref[...].astype(jnp.float32)
+    acc = acc + _conv_shifted(tb, wb2_ref[...], h, w, 3)
 
-    ident = x[2 : 2 + h, 2 : 2 + w, :].reshape(h * w, -1).astype(jnp.float32)
-    out = identity_scale * ident + res_scale * (ya + yb)
+    out = res_scale * acc
     out_ref[0] = out.reshape(h, w, -1).astype(dt)
 
 

@@ -219,6 +219,44 @@ class SuperResolver:
             self._jitted_fast[tuple(hw)] = fn
         return fn
 
+    def upscale_patch_average(self, img: np.ndarray, patch: int = 32, step: int = 16) -> np.ndarray:
+        """The reference ``upscalePatch`` capability (models.py:419-604):
+        dense overlapping patches at `step`, each bicubic-downsampled by the
+        net scale (models.py:499-508), reconstructed by the network, and
+        overlap-**averaged** back (reconstruct_from_patches_2dlocal,
+        img_utils.py:442-511, 4-px interior trim).  Output is same-size
+        (a 1x re-process / enhance pass), fully on device.
+        """
+        from image_enhance_keras_tpu.tiling.dense import (
+            extract_dense_patches,
+            reconstruct_average,
+        )
+
+        img = np.asarray(img)
+        h, w = img.shape[:2]
+        s = step
+        h2 = patch + -(-(max(h - patch, 0)) // s) * s
+        w2 = patch + -(-(max(w - patch, 0)) // s) * s
+        key = ("avg", h2, w2, patch, s)
+        fn = self._jitted.get(key)
+        if fn is None:
+            forward = self._forward_fn()
+            scale = self.spec.net_scale
+
+            def run(params, img_u8):
+                x = img_u8.astype(jnp.float32)
+                padded = jnp.pad(x, ((0, h2 - h), (0, w2 - w), (0, 0)))
+                tiles = extract_dense_patches(padded, patch, s)
+                lr = resize_pil_uint8(tiles, (patch // scale, patch // scale))
+                y = forward(params, lr / 255.0) * 255.0
+                recon = reconstruct_average(y, (h2, w2), step=s, pad=4)
+                out = recon[:h, :w]
+                return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+
+            fn = jax.jit(run)
+            self._jitted[key] = fn
+        return np.asarray(fn(self.params, jnp.asarray(img)))
+
     def upscale_frame(self, frame: np.ndarray) -> np.ndarray:
         """Single-frame API without tiling — the ``upVideo`` contract
         (models.py:165-182): ndarray in, x4 ndarray out."""

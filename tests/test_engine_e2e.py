@@ -96,6 +96,16 @@ def test_upscale_frame_shape():
     assert out.dtype == np.uint8
 
 
+def test_upscale_patch_average_same_size():
+    """upscalePatch capability: dense degrade->reconstruct->average, 1x out."""
+    r = _tiny_resolver()
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (40, 52, 3), dtype=np.uint8)
+    out = r.upscale_patch_average(img, patch=16, step=8)
+    assert out.shape == img.shape
+    assert out.dtype == np.uint8
+
+
 def test_output_name_contract():
     assert output_name("/a/b/bird_GT.bmp") == "/a/b/bird_GT_scaled(1x).bmp"
     assert output_name("x/img.png", "s", 4) == "x/img_s(4x).png"

@@ -33,6 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--devices", type=int, default=1)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--augment", action="store_true", help="random flips/transpose")
     return p
 
 
@@ -47,6 +48,7 @@ def main(argv=None) -> int:
         steps_per_epoch=args.steps_per_epoch,
         lr_patch=args.lr_patch,
         checkpoint_dir=args.checkpoint_dir,
+        augment=args.augment,
     )
     from image_enhance_keras_tpu.data.pipeline import load_image_dir
     from image_enhance_keras_tpu.train.trainer import Trainer

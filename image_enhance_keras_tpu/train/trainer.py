@@ -137,7 +137,11 @@ class Trainer:
 
         hr_patch = cfg.lr_patch * 4
         self.sampler = PatchSampler(
-            train_images, hr_patch=hr_patch, batch_size=cfg.batch_size, seed=cfg.seed
+            train_images,
+            hr_patch=hr_patch,
+            batch_size=cfg.batch_size,
+            seed=cfg.seed,
+            augment=cfg.augment,
         )
         self.val_sampler = PatchSampler(
             val_images, hr_patch=hr_patch, batch_size=cfg.batch_size, seed=cfg.seed + 1

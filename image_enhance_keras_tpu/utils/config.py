@@ -32,6 +32,7 @@ class Config:
     steps_per_epoch: int = 256
     lr_patch: int = 24  # LR patch side; HR = lr_patch * 4
     blur_sigma: float = 0.5  # degradation blur (img_utils.py:101)
+    augment: bool = False  # random flips/transpose on HR patches
     checkpoint_dir: str = "weights_Double"
     seed: int = 0
 

@@ -35,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--suffix", default="scaled", help="suffix of output images")
     p.add_argument("--patch_size", default=96, type=int, help="tile size (reference: 96)")
     p.add_argument("--step", default=64, type=int, help="tile step (reference: 64)")
+    p.add_argument("--geometry", default=None, choices=["ref", "perf"],
+                   help="tile geometry preset (overrides patch_size/step)")
     p.add_argument("--weights", default=None, help="Keras .h5 or orbax checkpoint dir")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--tile_chunk", default=16, type=int)
@@ -57,6 +59,7 @@ def main(argv=None) -> int:
             dtype=dtype,
             patch=args.patch_size,
             step=args.step,
+            geometry=args.geometry,
             tile_chunk=args.tile_chunk,
             mode=args.mode,
             forward=args.forward,
@@ -71,6 +74,7 @@ def main(argv=None) -> int:
             dtype=dtype,
             patch=args.patch_size,
             step=args.step,
+            geometry=args.geometry,
             tile_chunk=args.tile_chunk,
             mode=args.mode,
             forward=args.forward,

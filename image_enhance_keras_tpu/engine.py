@@ -54,6 +54,15 @@ def output_name(img_path: str, suffix: str = "scaled", scale_label: int = 1) -> 
     return f"{stem}_{suffix}({scale_label}x){ext}"
 
 
+#: Tile geometries: "ref" is the reference's hard-coded 96/64/8
+#: (main_dirpath.py:53, models.py:248, img_utils.py:700) — bit-exact parity,
+#: but (96/64)^2 = 2.25x overlap FLOP redundancy.  "perf" keeps the same
+#: crop-stitch algorithm with 192/176/8 — overlap 16 = 2*crop (the minimum
+#: that preserves seam-free stitching), 1.19x redundancy, ~2x faster tiled
+#: throughput; interior pixels identical up to receptive-field effects.
+TILE_GEOMETRIES = {"ref": (96, 64, 8), "perf": (192, 176, 8)}
+
+
 class SuperResolver:
     """Directory / image / frame x4 upscaler around one model + params."""
 
@@ -65,6 +74,7 @@ class SuperResolver:
         patch: int = 96,
         step: int = 64,
         crop: int = 8,
+        geometry: str | None = None,
         scalemulti: int = 4,
         tile_chunk: int = 16,
         params: Any = None,
@@ -79,6 +89,8 @@ class SuperResolver:
         self.forward_mode = forward
         if forward == "pallas" and not model.startswith("didbl"):
             raise ValueError("pallas forward is implemented for the didbl family")
+        if geometry is not None:
+            patch, step, crop = TILE_GEOMETRIES[geometry]
         self.patch = patch
         self.step = step
         self.crop = crop

@@ -30,6 +30,19 @@ def degrade(gt: np.ndarray, scale: int = 4) -> np.ndarray:
     return np.asarray(lr).astype(np.uint8)
 
 
+class BicubicResolver:
+    """Upscales by plain PIL-bicubic — the classical baseline every SR paper
+    (and the NTIRE protocol) compares against.  Same .upscale contract."""
+
+    def __init__(self, scale: int = 4):
+        self.scale = scale
+
+    def upscale(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        out = resize_pil_uint8(jnp.asarray(img), (h * self.scale, w * self.scale))
+        return np.asarray(out).astype(np.uint8)
+
+
 def evaluate_resolver_on_dir(
     resolver,
     gt_dir: str,

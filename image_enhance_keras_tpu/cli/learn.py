@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=1)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--augment", action="store_true", help="random flips/transpose")
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="epochs between checkpoint writes (final always saved)")
     return p
 
 
@@ -49,6 +51,7 @@ def main(argv=None) -> int:
         lr_patch=args.lr_patch,
         checkpoint_dir=args.checkpoint_dir,
         augment=args.augment,
+        ckpt_every=args.ckpt_every,
     )
     from image_enhance_keras_tpu.data.pipeline import load_image_dir
     from image_enhance_keras_tpu.train.trainer import Trainer

@@ -1,0 +1,189 @@
+"""Drop-in compatibility surface for users of the reference repo.
+
+Exposes the reference's public names (img_utils.py / PSNR.py / models.py
+call-sites) implemented on top of the TPU-native stack, so scripts written
+against `diacaf/image-enhance-keras` can switch imports and run:
+
+    from image_enhance_keras_tpu import compat as img_utils
+    patches, grid = img_utils.extract_patches_Step(img, (96, 96), 64)
+
+Functions return NumPy arrays (the reference's contract).  New code should
+use the first-class APIs (engine.SuperResolver, tiling, ops.metrics) —
+this module is a thin veneer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from image_enhance_keras_tpu.tiling import tiles as _tiles
+from image_enhance_keras_tpu.ops import metrics as _metrics
+from image_enhance_keras_tpu.ops.color import rgb2ycbcr as _rgb2ycbcr
+from image_enhance_keras_tpu.ops.resize import resize_pil_uint8 as _pil_resize
+
+__all__ = [
+    "extract_patches_Step",
+    "rebuild_from_patches_Step",
+    "psnrNITRE",
+    "psnrVDSR",
+    "PSNRTorch",
+    "psnrSVLAB",
+    "im2double",
+    "rgb2y",
+    "imresize_bicubic",
+    "image_count",
+    "image_generator",
+    "DifvdsrDouble",
+]
+
+
+# ---------------------------------------------------------------------------
+# img_utils.py surface (tiling)
+# ---------------------------------------------------------------------------
+
+def extract_patches_Step(image, patch_size, step_patches=24):
+    """Reference img_utils.py:601-690 contract: overlapping tiles from an
+    (already padded) image, column-major order, plus the (cnt_h, cnt_w) grid.
+    (The reference's debug imsave side effect is dropped.)"""
+    image = np.asarray(image)
+    p_h, p_w = patch_size
+    if p_h != p_w:
+        raise ValueError("square patches only (reference always uses square)")
+    h, w = image.shape[:2]
+    cnt_h = _tiles._count_positions(h, p_h, step_patches)
+    cnt_w = _tiles._count_positions(w, p_w, step_patches)
+    plan = _tiles.TilePlan(
+        orig_h=h, orig_w=w, padded_h=h, padded_w=w,
+        patch=p_h, step=step_patches, cnt_h=cnt_h, cnt_w=cnt_w,
+        scale=1, crop=0,
+    )
+    out = _tiles.extract_tiles(jnp.asarray(image.astype(np.float32)), plan)
+    return np.asarray(out), (cnt_h, cnt_w)
+
+
+def rebuild_from_patches_Step(img_initial, patches, patch_size, tupleinit, scale, step_patches_ini=24):
+    """Reference img_utils.py:692-724 contract: overwrite-order crop-stitch
+    (8-px borders except first row/col) onto a (H*scale, W*scale, 3) canvas."""
+    img_initial = np.asarray(img_initial)
+    h, w = img_initial.shape[:2]
+    cnt_h, cnt_w = tupleinit
+    plan = _tiles.TilePlan(
+        orig_h=h, orig_w=w, padded_h=h, padded_w=w,
+        patch=patch_size[0], step=step_patches_ini, cnt_h=cnt_h, cnt_w=cnt_w,
+        scale=scale, crop=8,
+    )
+    out = _tiles.stitch_tiles(jnp.asarray(np.asarray(patches, np.float32)), plan)
+    return np.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# PSNR.py surface
+# ---------------------------------------------------------------------------
+
+def psnrNITRE(pred, gt, shave_border=0):
+    return float(_metrics.psnr_nitre(jnp.asarray(np.asarray(pred, np.float64)),
+                                     jnp.asarray(np.asarray(gt, np.float64)),
+                                     shave_border))
+
+
+def psnrVDSR(target, ref, scale):
+    return float(_metrics.psnr_vdsr(jnp.asarray(np.asarray(target, np.float64)),
+                                    jnp.asarray(np.asarray(ref, np.float64)),
+                                    scale))
+
+
+def PSNRTorch(pred, gt, shave_border=0):
+    return float(_metrics.psnr_shave(jnp.asarray(np.asarray(pred, np.float64)),
+                                     jnp.asarray(np.asarray(gt, np.float64)),
+                                     shave_border))
+
+
+def psnrSVLAB(img1, img2):
+    return float(_metrics.psnr_peak1(jnp.asarray(np.asarray(img1, np.float64)),
+                                     jnp.asarray(np.asarray(img2, np.float64))))
+
+
+def im2double(im):
+    return np.asarray(im, np.float64) / 255.0
+
+
+def rgb2y(img):
+    """Fixed version of the reference's broken rgb2y (PSNR.py:101-109)."""
+    return np.asarray(_rgb2ycbcr(jnp.asarray(np.asarray(img))))[..., 0]
+
+
+def imresize_bicubic(img, size):
+    """scipy.misc.imresize(..., interp='bicubic') stand-in (uint8 semantics)."""
+    out = _pil_resize(jnp.asarray(np.asarray(img)), tuple(size))
+    return np.asarray(out).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# training-data surface
+# ---------------------------------------------------------------------------
+
+def image_count(dir_path: str = "train_images/train") -> int:
+    from image_enhance_keras_tpu.data.generator import image_count as _ic
+
+    return _ic(dir_path)
+
+
+def image_generator(directory, scale_factor=1, batch_size=10, shuffle=True, seed=None, **_):
+    from image_enhance_keras_tpu.data.generator import paired_patch_generator
+
+    return paired_patch_generator(directory, batch_size=batch_size, shuffle=shuffle, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# models.py surface
+# ---------------------------------------------------------------------------
+
+class DifvdsrDouble:
+    """The reference's flagship model class (models.py:1146) mapped onto the
+    TPU engine: create_model/load -> SuperResolver; upscaleStepPatch ->
+    tiled pipeline; upVideo -> whole-frame; fit -> Trainer."""
+
+    def __init__(self, scale_factor: int = 1):
+        self.scale_factor = scale_factor
+        self.weight_path = "weights_Double/best"
+        self._resolver = None
+
+    def create_model(self, height=32, width=32, channels=3, load_weights=False, batch_size=128):
+        from image_enhance_keras_tpu.engine import SuperResolver
+
+        weights = self.weight_path if load_weights else None
+        self._resolver = SuperResolver(model="didbl", weights=weights)
+        return self._resolver
+
+    def _ensure(self, load_weights=True):
+        if self._resolver is None:
+            import os
+
+            self.create_model(load_weights=load_weights and os.path.exists(self.weight_path))
+        return self._resolver
+
+    def upscaleStepPatch(self, img_path, save_intermediate=False, return_image=False,
+                         suffix="scaled", patch_size=96, scalemulti=4, step_patch=64,
+                         mode="patch", verbose=True):
+        r = self._ensure()
+        if return_image:
+            from image_enhance_keras_tpu.data.io import imread
+
+            return r.upscale(imread(img_path))
+        return r.upscale_file(img_path, suffix=suffix, scale_label=self.scale_factor)
+
+    def upVideo(self, img_obj):
+        return self._ensure().upscale_frame(np.asarray(img_obj))
+
+    def fit(self, batch_size=10, nb_epochs=100, save_history=False, history_fn="ScaleGen History.txt"):
+        from image_enhance_keras_tpu.train.trainer import Trainer
+        from image_enhance_keras_tpu.utils.config import Config
+
+        trainer = Trainer(Config(model="didbl", batch_size=batch_size, epochs=nb_epochs))
+        return trainer.fit()
+
+    def evaluate(self, val_dir="val_images/set5nitre"):
+        from image_enhance_keras_tpu.eval import evaluate_resolver_on_dir
+
+        return evaluate_resolver_on_dir(self._ensure(), val_dir)

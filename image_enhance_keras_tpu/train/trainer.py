@@ -215,7 +215,11 @@ class Trainer:
                 **val,
                 "sec": time.time() - t0,
             }
-            is_best = self.ckpt.save_epoch(self.state, epoch, epoch_metrics)
+            # checkpoint cadence: every cfg.ckpt_every epochs + final epoch
+            # (saves pull ~18MB off-device; cadence matters on slow links)
+            is_best = False
+            if epoch % max(cfg.ckpt_every, 1) == 0 or epoch == epochs:
+                is_best = self.ckpt.save_epoch(self.state, epoch, epoch_metrics)
             self.history.log_epoch(epoch, epoch_metrics)
             log.info(
                 "epoch %d/%d loss %.5f psnr %.2f val_psnr %.2f (%.1fs)%s",

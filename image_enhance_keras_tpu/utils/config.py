@@ -33,6 +33,7 @@ class Config:
     lr_patch: int = 24  # LR patch side; HR = lr_patch * 4
     blur_sigma: float = 0.5  # degradation blur (img_utils.py:101)
     augment: bool = False  # random flips/transpose on HR patches
+    ckpt_every: int = 1  # epochs between checkpoint writes (final epoch always)
     checkpoint_dir: str = "weights_Double"
     seed: int = 0
 

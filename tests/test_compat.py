@@ -1,0 +1,61 @@
+"""Compat layer: reference API names behave per the reference contracts."""
+
+import numpy as np
+
+from image_enhance_keras_tpu import compat
+
+
+def test_extract_and_rebuild_step_contract():
+    rng = np.random.default_rng(0)
+    # a padded image the way the reference prepares it (multiple of step)
+    img = rng.integers(0, 256, (256, 320, 3)).astype(np.float64)
+    patches, (cnt_h, cnt_w) = compat.extract_patches_Step(img, (96, 96), 64)
+    assert patches.shape == (cnt_h * cnt_w, 96, 96, 3)
+    assert cnt_h == len(range(0, 256 - 96, 64))
+    assert cnt_w == len(range(0, 320 - 96, 64))
+    # scale=1 round trip reproduces the interior
+    rebuilt = compat.rebuild_from_patches_Step(img, patches, (96, 96), (cnt_h, cnt_w), 1, 64)
+    np.testing.assert_allclose(rebuilt[:160, :224], img[:160, :224], atol=1e-4)
+
+
+def test_psnr_functions():
+    rng = np.random.default_rng(1)
+    gt = rng.integers(0, 256, (32, 32)).astype(np.float64)
+    pred = np.clip(gt + rng.normal(0, 4, gt.shape), 0, 255)
+    d = (pred - gt) / 255.0
+    want = 10 * np.log10(d.size / np.sum(d * d))
+    assert abs(compat.psnrNITRE(pred, gt) - want) < 1e-4
+    assert compat.PSNRTorch(pred, gt) > 0
+    assert compat.psnrSVLAB(pred, gt) > 0
+    np.testing.assert_allclose(compat.im2double(np.array([255.0])), [1.0])
+
+
+def test_rgb2y_fixed():
+    red = np.zeros((2, 2, 3)); red[..., 0] = 255
+    y = compat.rgb2y(red)
+    np.testing.assert_allclose(y, 16 + 65.481, atol=1e-3)
+
+
+def test_imresize_bicubic():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    out = compat.imresize_bicubic(img, (32, 32))
+    assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+
+
+def test_model_class_surface(tmp_path):
+    """Contract of the compat model class; a tiny resolver is injected so the
+    CPU test doesn't compile the full 128-feature tower."""
+    from image_enhance_keras_tpu.data.io import imwrite
+    from tests.test_engine_e2e import _tiny_resolver
+
+    rng = np.random.default_rng(3)
+    m = compat.DifvdsrDouble(scale_factor=1)
+    m._resolver = _tiny_resolver()
+    frame = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    out = m.upVideo(frame)
+    assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+    p = str(tmp_path / "x.png")
+    imwrite(p, frame)
+    dst = m.upscaleStepPatch(p)
+    assert dst.endswith("x_scaled(1x).png")

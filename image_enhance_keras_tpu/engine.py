@@ -116,13 +116,34 @@ class SuperResolver:
     # weights
     # ------------------------------------------------------------------
     def load_weights(self, path: str) -> None:
-        """Load Keras .h5 (reference checkpoints) or an orbax directory."""
+        """Load Keras .h5 (reference checkpoints), a params .npz export, or
+        an orbax checkpoint directory (params-only or full train state)."""
         if path.endswith(".h5"):
             self.params = import_keras_weights(path, self.model_name, self.params)
+        elif path.endswith(".npz"):
+            from image_enhance_keras_tpu.train.checkpoints import load_params_npz
+
+            self.params = load_params_npz(path, self.params)
         else:
             from image_enhance_keras_tpu.train.checkpoints import restore_params
 
-            self.params = restore_params(path, self.params)
+            try:
+                self.params = restore_params(path, self.params)
+            except ValueError:
+                # full TrainState checkpoint: params tree is the leading
+                # leaves (TrainState flattens as (params, opt_state, step))
+                import jax as _jax
+
+                leaves = restore_params(path, None)
+                want = _jax.tree_util.tree_leaves(self.params)
+                treedef = _jax.tree_util.tree_structure(self.params)
+                if len(leaves) < len(want):
+                    raise
+                picked = [
+                    np.asarray(r, dtype=np.asarray(t).dtype)
+                    for t, r in zip(want, leaves[: len(want)])
+                ]
+                self.params = _jax.tree_util.tree_unflatten(treedef, picked)
         self.params = jax.device_put(self.params)
 
     # ------------------------------------------------------------------

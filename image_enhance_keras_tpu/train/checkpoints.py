@@ -49,6 +49,46 @@ def restore_params(path: str, like: Any = None) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def export_params_npz(path: str, params: Any) -> None:
+    """Distribution format: a single .npz of named param arrays (no opt
+    state) — small, dependency-light, loadable anywhere."""
+    import jax
+
+    flat = {}
+
+    def walk(node, prefix):
+        if hasattr(node, "items"):
+            for k, v in node.items():
+                walk(v, f"{prefix}/{k}" if prefix else k)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk(params, "")
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path: str, like: Any = None) -> Any:
+    data = np.load(path)
+    if like is None:
+        # rebuild nested dict from slash-joined names
+        out: dict = {}
+        for name in data.files:
+            node = out
+            parts = name.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = data[name]
+        return out
+    import jax
+
+    def fill(node, prefix):
+        if hasattr(node, "items"):
+            return {k: fill(v, f"{prefix}/{k}" if prefix else k) for k, v in node.items()}
+        return np.asarray(data[prefix], dtype=np.asarray(node).dtype)
+
+    return fill(like, "")
+
+
 class CheckpointManager:
     """Best-k + latest checkpoints with an index file.
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["rgb2ycbcr", "ycbcr2rgb", "rgb2y", "im2double"]
+__all__ = ["rgb2ycbcr", "ycbcr2rgb", "rgb2y", "im2double", "im2double_minmax"]
 
 # ITU-R BT.601 "full-range RGB -> studio-range YCbCr" matrix, as used by
 # skimage.color.rgb2ycbcr (inputs scaled to [0, 1]).
@@ -28,6 +28,14 @@ _YCBCR_OFFSET = jnp.asarray([16.0, 128.0, 128.0], dtype=jnp.float32)
 def im2double(x: jnp.ndarray) -> jnp.ndarray:
     """Reference ``im2double`` (PSNR.py:93-98): scale 0..255 data to 0..1 floats."""
     return x.astype(jnp.float32) / 255.0
+
+
+def im2double_minmax(x: jnp.ndarray) -> jnp.ndarray:
+    """Reference ``im2doubleZ`` (PSNR.py:87-91): min-max normalise to [0, 1]."""
+    xf = x.astype(jnp.float32)
+    lo = jnp.min(xf)
+    hi = jnp.max(xf)
+    return (xf - lo) / (hi - lo)
 
 
 def rgb2ycbcr(rgb: jnp.ndarray) -> jnp.ndarray:

@@ -102,6 +102,22 @@ def resize_weight_matrix(in_size: int, out_size: int, method: str) -> np.ndarray
         w[rows, i1] += frac
         return w.astype(np.float32)
 
+    if method == "tf1_bicubic":
+        # TF1 resize_bicubic align_corners=False: asymmetric coords
+        # (src = dst * in/out), Keys cubic with a = -0.75, edge-clamped,
+        # weights NOT renormalised (TF1 semantics).
+        scale = in_size / out_size
+        w = np.zeros((out_size, in_size), dtype=np.float64)
+        for i in range(out_size):
+            src = i * scale
+            j0 = int(np.floor(src))
+            frac = src - j0
+            for t in range(-1, 3):
+                ww = float(_kernel_cubic(np.asarray(t - frac), a=-0.75))
+                j = min(max(j0 + t, 0), in_size - 1)
+                w[i, j] += ww
+        return w.astype(np.float32)
+
     if method == "tf1_nearest":
         scale = in_size / out_size
         src = np.minimum(np.floor(np.arange(out_size) * scale).astype(np.int64), in_size - 1)

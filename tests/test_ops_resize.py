@@ -102,6 +102,29 @@ def test_pil_parity_uint8_bicubic(out_hw):
     assert np.mean(diff > 0) < 0.05
 
 
+def test_tf1_bicubic_properties():
+    """TF1 bicubic (a=-0.75, asymmetric coords): integer-aligned samples are
+    exact; x2 upscale stays close to the scalar reference values."""
+    rng = np.random.default_rng(5)
+    src = rng.random((8, 8, 1)).astype(np.float32)
+    # identity when out == in
+    same = np.asarray(resize2d(jnp.asarray(src), (8, 8), "tf1_bicubic"))
+    np.testing.assert_allclose(same, src, atol=1e-6)
+    up = np.asarray(resize2d(jnp.asarray(src), (16, 16), "tf1_bicubic"))
+    # even output rows/cols sample exactly at source pixels (src = dst*0.5)
+    np.testing.assert_allclose(up[::2, ::2], src, atol=1e-5)
+    # weight rows away from edges sum to 1 (Keys kernel partition of unity)
+    w = resize_weight_matrix(32, 64, "tf1_bicubic")
+    np.testing.assert_allclose(w[4:-4].sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_im2double_minmax():
+    from image_enhance_keras_tpu.ops.color import im2double_minmax
+
+    x = jnp.asarray([10.0, 20.0, 30.0])
+    np.testing.assert_allclose(np.asarray(im2double_minmax(x)), [0, 0.5, 1.0], atol=1e-6)
+
+
 def test_batched_resize_matches_unbatched():
     rng = np.random.default_rng(4)
     imgs = rng.random((3, 10, 12, 3)).astype(np.float32)

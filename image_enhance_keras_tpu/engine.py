@@ -83,6 +83,9 @@ class SuperResolver:
         mode: str = "patch",
         fast_max_pixels: int = 1 << 20,
     ):
+        from image_enhance_keras_tpu.utils.jax_setup import setup_jax
+
+        setup_jax()
         self.model_name = model
         self.module, self.spec = get_model(model, dtype=dtype)
         self._dtype = dtype

@@ -122,6 +122,9 @@ class Trainer:
         val_images: list[np.ndarray] | None = None,
         mesh=None,
     ):
+        from image_enhance_keras_tpu.utils.jax_setup import setup_jax
+
+        setup_jax()
         self.config = config or Config()
         cfg = self.config
         self.module, self.spec = get_model(cfg.model, dtype=cfg.jax_dtype())

@@ -302,6 +302,37 @@ class SuperResolver:
             jnp.clip(jnp.round(y[0] * 255.0), 0, 255).astype(jnp.uint8)
         )
 
+    def upscale_video(self, frames: np.ndarray, frame_chunk: int = 1) -> np.ndarray:
+        """Batch-of-frames x4 (the streaming video serving path): (T, H, W, 3)
+        uint8 -> (T, 4H, 4W, 3) uint8, frames mapped through the whole-frame
+        forward in chunks inside one jitted program per (T, H, W) shape."""
+        frames = np.asarray(frames)
+        t, h, w = frames.shape[:3]
+        key = ("video", t, h, w, frame_chunk)
+        fn = self._jitted.get(key)
+        if fn is None:
+            forward = self._forward_fn()
+
+            def run(params, vid_u8):
+                def one(chunk):
+                    x = chunk.astype(jnp.float32) / 255.0
+                    y = forward(params, x)
+                    return jnp.clip(jnp.round(y * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+                tc = frame_chunk
+                n_pad = (t + tc - 1) // tc * tc
+                v = vid_u8
+                if n_pad != t:
+                    v = jnp.concatenate(
+                        [v, jnp.zeros((n_pad - t,) + v.shape[1:], v.dtype)]
+                    )
+                out = lax.map(one, v.reshape(n_pad // tc, tc, *v.shape[1:]))
+                return out.reshape(n_pad, *out.shape[2:])[:t]
+
+            fn = jax.jit(run)
+            self._jitted[key] = fn
+        return np.asarray(fn(self.params, jnp.asarray(frames)))
+
     @functools.lru_cache(maxsize=32)
     def _frame_fn(self, hw):
         return jax.jit(lambda p, x: self.module.apply({"params": p}, x))

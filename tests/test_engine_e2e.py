@@ -96,6 +96,17 @@ def test_upscale_frame_shape():
     assert out.dtype == np.uint8
 
 
+def test_upscale_video_batch():
+    r = _tiny_resolver()
+    rng = np.random.default_rng(11)
+    vid = rng.integers(0, 256, (5, 16, 20, 3), dtype=np.uint8)
+    out = r.upscale_video(vid, frame_chunk=2)
+    assert out.shape == (5, 64, 80, 3)
+    # each frame equals the single-frame path
+    np.testing.assert_array_equal(out[0], r.upscale_frame(vid[0]))
+    np.testing.assert_array_equal(out[4], r.upscale_frame(vid[4]))
+
+
 def test_upscale_patch_average_same_size():
     """upscalePatch capability: dense degrade->reconstruct->average, 1x out."""
     r = _tiny_resolver()

@@ -1,0 +1,61 @@
+"""Eval harness tests: pairing logic, crop protocol, end-to-end scoring of
+synthetic golden files."""
+
+import os
+
+import numpy as np
+
+from image_enhance_keras_tpu.data.io import imwrite
+from image_enhance_keras_tpu.eval import score_directory, score_pair, degrade
+from image_enhance_keras_tpu.eval.scorer import find_pairs
+from image_enhance_keras_tpu.eval.evaluate import BicubicResolver
+
+
+def test_find_pairs_and_suffix_skip(tmp_path):
+    rng = np.random.default_rng(0)
+    gt = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    imwrite(str(tmp_path / "img_GT.png"), gt)
+    imwrite(str(tmp_path / "img_GT_scaled(1x).png"), gt)
+    imwrite(str(tmp_path / "orphan.png"), gt)
+    pairs = find_pairs(str(tmp_path))
+    assert len(pairs) == 1
+    assert pairs[0][0].endswith("img_GT.png")
+    assert pairs[0][1].endswith("img_GT_scaled(1x).png")
+
+
+def test_score_directory_identical_pair_is_perfect(tmp_path):
+    rng = np.random.default_rng(1)
+    gt = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    imwrite(str(tmp_path / "a_GT.png"), gt)
+    imwrite(str(tmp_path / "a_GT_scaled(1x).png"), gt)
+    scores, means = score_directory(str(tmp_path), verbose=False)
+    assert len(scores) == 1
+    assert means["ssim_y"] > 0.9999
+    assert means["psnr_y"] > 80  # identical -> ~inf, capped by float eps
+
+
+def test_crop_border_changes_score(tmp_path):
+    rng = np.random.default_rng(2)
+    gt = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    pred = gt.copy()
+    pred[:5] = 0  # corrupt a border strip
+    s_nocrop = score_pair(gt, pred, crop_border=0)
+    s_crop = score_pair(gt, pred, crop_border=10)
+    assert s_crop.psnr_y > s_nocrop.psnr_y  # crop removes the corruption
+    assert s_crop.ssim_y > 0.9999
+
+
+def test_degrade_shapes_and_range():
+    rng = np.random.default_rng(3)
+    gt = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    lr = degrade(gt, scale=4)
+    assert lr.shape == (16, 16, 3)
+    assert lr.dtype == np.uint8
+
+
+def test_bicubic_resolver_contract():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    out = BicubicResolver(4).upscale(img)
+    assert out.shape == (80, 96, 3)
+    assert out.dtype == np.uint8

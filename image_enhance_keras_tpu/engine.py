@@ -335,7 +335,8 @@ class SuperResolver:
 
     @functools.lru_cache(maxsize=32)
     def _frame_fn(self, hw):
-        return jax.jit(lambda p, x: self.module.apply({"params": p}, x))
+        forward = self._forward_fn()
+        return jax.jit(lambda p, x: forward(p, x))
 
     def upscale_file(
         self, img_path: str, suffix: str = "scaled", scale_label: int = 1

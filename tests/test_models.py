@@ -60,6 +60,32 @@ def test_keras_conv_order_didbl():
     assert order[-1] == ("out",)
 
 
+def test_keras_conv_order_difv4_difvdsr():
+    o4 = keras_conv_order("difv4")
+    # 1 + 6*2 + 20*2 + 6*2 + 1 = 66 convs
+    assert len(o4) == 66
+    assert o4[1] == ("head_0", "conv_a")
+    assert o4[13] == ("mid_0", "conv_a")
+    od = keras_conv_order("difvdsr")
+    # 1 + 32*4 + 1 = 130 convs
+    assert len(od) == 130
+    assert od[1] == ("diff_0", "conv_a")
+    assert od[4] == ("diff_0", "conv_d")
+
+
+def test_keras_order_paths_exist_in_param_trees():
+    """Every keras-order path resolves to a conv kernel for all models."""
+    for name in ["didbl", "didbl_subpixel", "difv4", "difvdsr"]:
+        model, _ = get_model(name)
+        params = init_params(model, input_hw=(8, 8))
+        for keys in keras_conv_order(name):
+            node = params
+            for k in keys:
+                assert k in node, f"{name}: missing {keys}"
+                node = node[k]
+            assert "kernel" in node and node["kernel"].ndim == 4
+
+
 def _write_fake_keras_h5(path, shapes):
     """Create a Keras-2.x-layout HDF5 with random conv weights."""
     import h5py

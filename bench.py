@@ -91,13 +91,42 @@ def main() -> int:
         float(c)  # forces materialisation of the whole chain
         return (time.perf_counter() - t0) / iters
 
-    dt_fast = timed(run_fast)
-    dt_patch = timed(run_patch)
-
     out_px = 16 * size * size * batch
+    dt_fast = timed(run_fast)
     fast_out = out_px / dt_fast / 1e6
-    patch_out = out_px / dt_patch / 1e6
     fast_in = fast_out / 16.0
+
+    # Watchdog: if the tiled-path compile wedges (observed occasionally on
+    # the remote-compile relay), still emit the fast-mode result.
+    import os as _os
+    import threading
+
+    def _bail():
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"didbl x4 end-to-end on-device, {size}x{size} uint8, {dtype_name}: "
+                        f"fast(whole-frame) {fast_out:.1f} out-Mpix/s "
+                        f"({fast_in:.2f} in-Mpix/s); patch-mode measurement timed out; "
+                        f"baseline 100 Mpix/s on v5e-8 = 12.5/chip"
+                    ),
+                    "value": round(fast_out, 2),
+                    "unit": "output Mpix/s/chip",
+                    "vs_baseline": round(fast_out / 12.5, 3),
+                },
+
+            ),
+            flush=True,
+        )
+        _os._exit(0)
+
+    watchdog = threading.Timer(float(os.environ.get("IEK_BENCH_PATCH_TIMEOUT", "900")), _bail)
+    watchdog.daemon = True
+    watchdog.start()
+    dt_patch = timed(run_patch)
+    watchdog.cancel()
+    patch_out = out_px / dt_patch / 1e6
     patch_in = patch_out / 16.0
 
     result = {

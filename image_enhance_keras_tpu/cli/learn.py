@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--augment", action="store_true", help="random flips/transpose")
     p.add_argument("--ckpt-every", type=int, default=1,
                    help="epochs between checkpoint writes (final always saved)")
+    p.add_argument("--clip-norm", type=float, default=None,
+                   help="global-norm gradient clipping")
     return p
 
 
@@ -52,6 +54,7 @@ def main(argv=None) -> int:
         checkpoint_dir=args.checkpoint_dir,
         augment=args.augment,
         ckpt_every=args.ckpt_every,
+        clip_norm=args.clip_norm,
     )
     from image_enhance_keras_tpu.data.pipeline import load_image_dir
     from image_enhance_keras_tpu.train.trainer import Trainer

@@ -150,7 +150,10 @@ class Trainer:
             val_images, hr_patch=hr_patch, batch_size=cfg.batch_size, seed=cfg.seed + 1
         )
 
-        self.tx = optax.adam(cfg.lr, b1=cfg.beta1)
+        tx = optax.adam(cfg.lr, b1=cfg.beta1)
+        if cfg.clip_norm:
+            tx = optax.chain(optax.clip_by_global_norm(cfg.clip_norm), tx)
+        self.tx = tx
         params = init_params(
             self.module, jax.random.PRNGKey(cfg.seed), input_hw=(cfg.lr_patch, cfg.lr_patch)
         )

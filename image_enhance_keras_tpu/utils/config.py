@@ -34,6 +34,7 @@ class Config:
     blur_sigma: float = 0.5  # degradation blur (img_utils.py:101)
     augment: bool = False  # random flips/transpose on HR patches
     ckpt_every: int = 1  # epochs between checkpoint writes (final epoch always)
+    clip_norm: float | None = None  # optax global-norm gradient clipping
     checkpoint_dir: str = "weights_Double"
     seed: int = 0
 

@@ -1,0 +1,58 @@
+"""CLI integration tests on CPU with a tiny model (monkeypatched zoo)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from image_enhance_keras_tpu.data.io import imwrite, imread
+
+
+@pytest.fixture()
+def tiny_zoo(monkeypatch):
+    """Patch the registry didbl to a small config so CLI runs fast on CPU."""
+    from image_enhance_keras_tpu.models import zoo
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+    import image_enhance_keras_tpu.engine as engine_mod
+
+    tiny = DifvdsrDouble(features=8, n_body53=1, n_light=1, n_tail53=0)
+    spec = zoo.ModelSpec("didbl", lambda **k: tiny, 4, False, "tiny", "w")
+    monkeypatch.setattr(engine_mod, "get_model", lambda name, dtype=None: (tiny, spec))
+    return tiny
+
+
+def test_main_dirpath_cli(tmp_path, tiny_zoo):
+    from image_enhance_keras_tpu.cli.main_dirpath import main
+
+    rng = np.random.default_rng(0)
+    for name in ["a.png", "b.bmp"]:
+        imwrite(str(tmp_path / name), rng.integers(0, 256, (40, 48, 3), dtype=np.uint8))
+    rc = main([str(tmp_path), "--mode", "fast", "--patch_size", "32", "--step", "16"])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "a_scaled(1x).png")
+    assert os.path.exists(tmp_path / "b_scaled(1x).bmp")
+    out = imread(str(tmp_path / "a_scaled(1x).png"))
+    assert out.shape == (160, 192, 3)
+
+
+def test_scorpath_cli(tmp_path):
+    from image_enhance_keras_tpu.cli.scorpath import main
+
+    rng = np.random.default_rng(1)
+    gt = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    imwrite(str(tmp_path / "x.png"), gt)
+    noisy = np.clip(gt.astype(int) + rng.integers(-6, 7, gt.shape), 0, 255).astype(np.uint8)
+    imwrite(str(tmp_path / "x_scaled(1x).png"), noisy)
+    js = str(tmp_path / "m.json")
+    rc = main([str(tmp_path), "--json", js])
+    assert rc == 0
+    means = json.load(open(js))
+    assert 20 < means["psnr_y"] < 60
+    assert 0.5 < means["ssim_y"] <= 1.0
+
+
+def test_scorpath_cli_empty_dir(tmp_path):
+    from image_enhance_keras_tpu.cli.scorpath import main
+
+    assert main([str(tmp_path)]) == 1

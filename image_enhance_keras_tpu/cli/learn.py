@@ -38,6 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="epochs between checkpoint writes (final always saved)")
     p.add_argument("--clip-norm", type=float, default=None,
                    help="global-norm gradient clipping")
+    p.add_argument("--lr-schedule", default="constant", choices=["constant", "cosine"])
     return p
 
 
@@ -55,6 +56,7 @@ def main(argv=None) -> int:
         augment=args.augment,
         ckpt_every=args.ckpt_every,
         clip_norm=args.clip_norm,
+        lr_schedule=args.lr_schedule,
     )
     from image_enhance_keras_tpu.data.pipeline import load_image_dir
     from image_enhance_keras_tpu.train.trainer import Trainer

@@ -150,7 +150,14 @@ class Trainer:
             val_images, hr_patch=hr_patch, batch_size=cfg.batch_size, seed=cfg.seed + 1
         )
 
-        tx = optax.adam(cfg.lr, b1=cfg.beta1)
+        if cfg.lr_schedule == "cosine":
+            lr = optax.cosine_decay_schedule(
+                cfg.lr, decay_steps=max(cfg.epochs * cfg.steps_per_epoch, 1),
+                alpha=0.05,
+            )
+        else:
+            lr = cfg.lr
+        tx = optax.adam(lr, b1=cfg.beta1)
         if cfg.clip_norm:
             tx = optax.chain(optax.clip_by_global_norm(cfg.clip_norm), tx)
         self.tx = tx

@@ -35,6 +35,7 @@ class Config:
     augment: bool = False  # random flips/transpose on HR patches
     ckpt_every: int = 1  # epochs between checkpoint writes (final epoch always)
     clip_norm: float | None = None  # optax global-norm gradient clipping
+    lr_schedule: str = "constant"  # "constant" | "cosine" (decay over the run)
     checkpoint_dir: str = "weights_Double"
     seed: int = 0
 

@@ -90,7 +90,7 @@ class SuperResolver:
         self.module, self.spec = get_model(model, dtype=dtype)
         self._dtype = dtype
         self.forward_mode = forward
-        if forward == "pallas" and not model.startswith("didbl"):
+        if forward.startswith("pallas") and not model.startswith("didbl"):
             raise ValueError("pallas forward is implemented for the didbl family")
         if geometry is not None:
             patch, step, crop = TILE_GEOMETRIES[geometry]
@@ -185,7 +185,7 @@ class SuperResolver:
         """params, (N,h,w,3)[0,1] -> (N,sh,sw,3): XLA flax apply or the
         Pallas-fused didbl forward (same param tree, same math)."""
         mode = getattr(self, "forward_mode", "xla")
-        if mode == "pallas":
+        if mode in ("pallas", "pallas_chain"):
             from image_enhance_keras_tpu.models.didbl_pallas import apply_didbl_pallas
 
             m = self.module
@@ -197,6 +197,7 @@ class SuperResolver:
                 n_light=m.n_light,
                 n_tail53=m.n_tail53,
                 scale=m.scale,
+                chain=(mode == "pallas_chain"),
             )
         module = self.module
         return lambda params, b: module.apply({"params": params}, b)

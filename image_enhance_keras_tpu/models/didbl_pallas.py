@@ -72,21 +72,56 @@ def apply_didbl_pallas(
     n_tail53: int = 2,
     scale: int = 4,
     interpret: bool | None = None,
+    chain: bool = False,
 ) -> jnp.ndarray:
-    """(N, H, W, 3) [0,1] -> (N, 4H, 4W, 3); same math as DifvdsrDouble."""
+    """(N, H, W, 3) [0,1] -> (N, 4H, 4W, 3); same math as DifvdsrDouble.
+
+    ``chain=True`` uses the weight-streaming chain kernels (ops/pallas/tower):
+    the whole pre-upsample tower runs with VMEM-resident activations and
+    double-buffered weight DMA — requires tiles <= ~64x64 at C=128.
+    """
     h = x.astype(dtype or x.dtype)
     h = jnp.maximum(_conv(h, params["level1"]), 0.0)
-    for i in range(n_body53):
-        h = _light53(h, params[f"body53_{i}"], interpret)
-    for i in range(n_light):
-        p = params[f"light_{i}"]
-        h = fused_light_block(
+    if chain:
+        from image_enhance_keras_tpu.ops.pallas.tower import (
+            fused_light53_chain,
+            fused_light_chain,
+        )
+
+        b = [params[f"body53_{i}"] for i in range(n_body53)]
+        h = fused_light53_chain(
             h,
-            p["conv_a"]["kernel"], p["conv_a"]["bias"],
-            p["conv_b"]["kernel"], p["conv_b"]["bias"],
-            res_scale=0.1,
+            jnp.stack([p["conv_a1"]["kernel"] for p in b]),
+            jnp.stack([p["conv_a1"]["bias"] for p in b]),
+            jnp.stack([p["conv_a2"]["kernel"] for p in b]),
+            jnp.stack([p["conv_a2"]["bias"] for p in b]),
+            jnp.stack([p["conv_b1"]["kernel"] for p in b]),
+            jnp.stack([p["conv_b1"]["bias"] for p in b]),
+            jnp.stack([p["conv_b2"]["kernel"] for p in b]),
+            jnp.stack([p["conv_b2"]["bias"] for p in b]),
             interpret=interpret,
         )
+        l = [params[f"light_{i}"] for i in range(n_light)]
+        h = fused_light_chain(
+            h,
+            jnp.stack([p["conv_a"]["kernel"] for p in l]),
+            jnp.stack([p["conv_a"]["bias"] for p in l]),
+            jnp.stack([p["conv_b"]["kernel"] for p in l]),
+            jnp.stack([p["conv_b"]["bias"] for p in l]),
+            interpret=interpret,
+        )
+    else:
+        for i in range(n_body53):
+            h = _light53(h, params[f"body53_{i}"], interpret)
+        for i in range(n_light):
+            p = params[f"light_{i}"]
+            h = fused_light_block(
+                h,
+                p["conv_a"]["kernel"], p["conv_a"]["bias"],
+                p["conv_b"]["kernel"], p["conv_b"]["bias"],
+                res_scale=0.1,
+                interpret=interpret,
+            )
     h = resize_bilinear_tf1(h, (scale * h.shape[-3], scale * h.shape[-2]))
     for i in range(n_tail53):
         h = _light53_xla(h, params[f"tail53_{i}"])

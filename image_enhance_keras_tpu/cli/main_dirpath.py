@@ -79,7 +79,12 @@ def main(argv=None) -> int:
             mode=args.mode,
             forward=args.forward,
         )
-    outs = resolver.upscale_dir(args.imgpath, suffix=args.suffix, scale_label=args.scale)
+    outs = resolver.upscale_dir(
+        args.imgpath,
+        suffix=args.suffix,
+        scale_label=args.scale,
+        save_intermediate=args.save_intermediate,
+    )
     log.info("wrote %d images", len(outs))
     return 0
 

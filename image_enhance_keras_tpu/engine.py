@@ -340,13 +340,23 @@ class SuperResolver:
         return jax.jit(lambda p, x: forward(p, x))
 
     def upscale_file(
-        self, img_path: str, suffix: str = "scaled", scale_label: int = 1
+        self,
+        img_path: str,
+        suffix: str = "scaled",
+        scale_label: int = 1,
+        save_intermediate: bool = False,
     ) -> str:
         t0 = time.time()
         img = imread(img_path)
         out = self.upscale(img)
         dst = output_name(img_path, suffix, scale_label)
         imwrite(dst, out)
+        if save_intermediate:
+            # classical-resample comparison image; reference naming
+            # `<stem>_intermediate_<ext>` (models.py:333-339)
+            stem, ext = os.path.splitext(img_path)
+            inter = resize_pil_uint8(jnp.asarray(img), (out.shape[0], out.shape[1]))
+            imwrite(f"{stem}_intermediate_{ext}", np.asarray(inter).astype(np.uint8))
         log.info(
             "%s (%dx%d) -> %s (%dx%d) in %.2fs",
             os.path.basename(img_path), img.shape[1], img.shape[0],
@@ -355,14 +365,21 @@ class SuperResolver:
         return dst
 
     def upscale_dir(
-        self, dir_path: str, suffix: str = "scaled", scale_label: int = 1
+        self,
+        dir_path: str,
+        suffix: str = "scaled",
+        scale_label: int = 1,
+        save_intermediate: bool = False,
     ) -> list[str]:
         """Directory walk + per-image tiled upscale (main_dirpath.py:50-55).
         Skips images that already look like outputs of a previous run."""
         outs = []
         tag = f"_{suffix}("
         for path in list_images(dir_path):
-            if tag in os.path.basename(path):
+            base = os.path.basename(path)
+            if tag in base or "_intermediate_" in base:
                 continue
-            outs.append(self.upscale_file(path, suffix, scale_label))
+            outs.append(
+                self.upscale_file(path, suffix, scale_label, save_intermediate)
+            )
         return outs

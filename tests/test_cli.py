@@ -28,12 +28,19 @@ def test_main_dirpath_cli(tmp_path, tiny_zoo):
     rng = np.random.default_rng(0)
     for name in ["a.png", "b.bmp"]:
         imwrite(str(tmp_path / name), rng.integers(0, 256, (40, 48, 3), dtype=np.uint8))
-    rc = main([str(tmp_path), "--mode", "fast", "--patch_size", "32", "--step", "16"])
+    rc = main([str(tmp_path), "--mode", "fast", "--patch_size", "32", "--step", "16",
+               "--save_intermediate"])
     assert rc == 0
     assert os.path.exists(tmp_path / "a_scaled(1x).png")
     assert os.path.exists(tmp_path / "b_scaled(1x).bmp")
+    assert os.path.exists(tmp_path / "a_intermediate_.png")
     out = imread(str(tmp_path / "a_scaled(1x).png"))
     assert out.shape == (160, 192, 3)
+    inter = imread(str(tmp_path / "a_intermediate_.png"))
+    assert inter.shape == (160, 192, 3)
+    # rerun skips outputs and intermediates
+    rc = main([str(tmp_path), "--mode", "fast", "--patch_size", "32", "--step", "16"])
+    assert rc == 0
 
 
 def test_scorpath_cli(tmp_path):

@@ -25,6 +25,10 @@ from image_enhance_keras_tpu.ops.resize import resize_pil_uint8 as _pil_resize
 __all__ = [
     "extract_patches_Step",
     "rebuild_from_patches_Step",
+    "make_patches",
+    "combine_patches",
+    "extract_patches_2dlocal",
+    "reconstruct_from_patches_2dlocal",
     "psnrNITRE",
     "psnrVDSR",
     "PSNRTorch",
@@ -75,6 +79,48 @@ def rebuild_from_patches_Step(img_initial, patches, patch_size, tupleinit, scale
     )
     out = _tiles.stitch_tiles(jnp.asarray(np.asarray(patches, np.float32)), plan)
     return np.asarray(out)
+
+
+def make_patches(x, scale, patch_size, upscale=True, verbose=1):
+    """Dense sliding-window patches (reference img_utils.py:159-170)."""
+    from image_enhance_keras_tpu.tiling.dense import extract_dense_patches
+
+    return np.asarray(
+        extract_dense_patches(jnp.asarray(np.asarray(x, np.float32)), patch_size, 1)
+    )
+
+
+def combine_patches(in_patches, out_shape, scale):
+    """Overlap-average reconstruction (reference img_utils.py:189-196)."""
+    from image_enhance_keras_tpu.tiling.dense import reconstruct_average
+
+    return np.asarray(
+        reconstruct_average(jnp.asarray(np.asarray(in_patches, np.float32)),
+                            out_shape[:2], step=1, pad=0)
+    )
+
+
+def extract_patches_2dlocal(image, imagesfull, patch_size, step=16):
+    """Stride-filtered dense grid (reference img_utils.py:513-556)."""
+    from image_enhance_keras_tpu.tiling.dense import extract_dense_patches
+
+    return np.asarray(
+        extract_dense_patches(
+            jnp.asarray(np.asarray(image, np.float32)), patch_size[0], step
+        )
+    )
+
+
+def reconstruct_from_patches_2dlocal(imagesfull, patches, image_size, step=16):
+    """Overlap-average with 4-px interior trim (reference img_utils.py:442-511)."""
+    from image_enhance_keras_tpu.tiling.dense import reconstruct_average
+
+    return np.asarray(
+        reconstruct_average(
+            jnp.asarray(np.asarray(patches, np.float32)), image_size[:2],
+            step=step, pad=4,
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,19 @@ def test_psnr_functions():
     np.testing.assert_allclose(compat.im2double(np.array([255.0])), [1.0])
 
 
+def test_dense_patch_surface():
+    rng = np.random.default_rng(7)
+    img = rng.random((10, 10, 3)).astype(np.float32)
+    patches = compat.make_patches(img, 1, 4)
+    assert patches.shape == (49, 4, 4, 3)
+    back = compat.combine_patches(patches, (10, 10, 3), 1)
+    np.testing.assert_allclose(back, img, atol=1e-5)
+    sparse = compat.extract_patches_2dlocal(img, None, (4, 4), step=2)
+    assert sparse.shape == (16, 4, 4, 3)
+    rec = compat.reconstruct_from_patches_2dlocal(None, sparse, (10, 10), step=2)
+    assert rec.shape == (10, 10, 3)
+
+
 def test_rgb2y_fixed():
     red = np.zeros((2, 2, 3)); red[..., 0] = 255
     y = compat.rgb2y(red)

@@ -25,6 +25,14 @@ def test_shard_batch_layout():
     assert shard_shapes == {(2, 4, 4, 3)}
 
 
+def test_maybe_init_distributed_noop_without_env(monkeypatch):
+    from image_enhance_keras_tpu.parallel import maybe_init_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert maybe_init_distributed() is False
+
+
 def test_sharded_resolver_matches_single_device():
     """ShardedResolver (tiles over 8 devices) == SuperResolver bit-for-bit."""
     from image_enhance_keras_tpu.engine import SuperResolver

@@ -71,6 +71,8 @@ def test_extract_matches_oracle(hw):
     ((40, 56), 24, 16, 2, 4),
     ((100, 150), 96, 64, 4, 8),
     ((33, 47), 24, 16, 4, 4),
+    ((300, 420), 192, 176, 4, 8),  # "perf" geometry (engine.TILE_GEOMETRIES)
+    ((90, 110), 64, 48, 4, 8),     # pallas-chain geometry
 ])
 def test_stitch_matches_oracle_on_cropped_region(hw, patch, step, scale, crop):
     rng = np.random.default_rng(1)

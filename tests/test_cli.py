@@ -63,3 +63,16 @@ def test_scorpath_cli_empty_dir(tmp_path):
     from image_enhance_keras_tpu.cli.scorpath import main
 
     assert main([str(tmp_path)]) == 1
+
+
+def test_unified_front_door(tmp_path, capsys):
+    from image_enhance_keras_tpu.__main__ import main
+
+    assert main([]) == 0
+    assert "upscale" in capsys.readouterr().out
+    assert main(["bogus"]) == 2
+    rng = np.random.default_rng(9)
+    gt = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    imwrite(str(tmp_path / "x.png"), gt)
+    imwrite(str(tmp_path / "x_scaled(1x).png"), gt)
+    assert main(["score", str(tmp_path)]) == 0

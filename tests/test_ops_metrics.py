@@ -95,6 +95,50 @@ def test_ssim_multichannel_is_channel_mean():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_ssim_gaussian_weights_variant():
+    """gaussian_weights=True (sigma 1.5, truncate 3.5 -> 11x11) vs an
+    independent scipy implementation."""
+    rng = np.random.default_rng(7)
+    gt = rng.integers(0, 256, (40, 40)).astype(np.float64)
+    pred = np.clip(gt + rng.normal(0, 10, gt.shape), 0, 255)
+
+    radius = int(3.5 * 1.5 + 0.5)
+    x1d = np.arange(-radius, radius + 1)
+    k1 = np.exp(-0.5 * (x1d / 1.5) ** 2)
+    k1 /= k1.sum()
+    win = len(k1)
+
+    def filt(a):
+        a = ndimage.correlate1d(a, k1, axis=0, mode="reflect")
+        return ndimage.correlate1d(a, k1, axis=1, mode="reflect")
+
+    ux, uy = filt(pred), filt(gt)
+    uxx, uyy, uxy = filt(pred * pred), filt(gt * gt), filt(pred * gt)
+    npts = win * win
+    cov_norm = npts / (npts - 1)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux**2 + uy**2 + c1) * (vx + vy + c2))
+    pad = (win - 1) // 2
+    want = s[pad:-pad, pad:-pad].mean()
+
+    got = float(ssim(jnp.asarray(pred), jnp.asarray(gt), gaussian_weights=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_psnr_vdsr_shave():
+    rng = np.random.default_rng(8)
+    gt = rng.integers(0, 256, (24, 24)).astype(np.float64)
+    pred = np.clip(gt + rng.normal(0, 5, gt.shape), 0, 255)
+    from image_enhance_keras_tpu.ops.metrics import psnr_vdsr
+
+    m = np.mean((pred[4:-4, 4:-4] - gt[4:-4, 4:-4]) ** 2)
+    want = 20 * np.log10(255.0 / np.sqrt(m))
+    np.testing.assert_allclose(float(psnr_vdsr(jnp.asarray(pred), jnp.asarray(gt), 4)), want, rtol=1e-5)
+
+
 def test_depth_to_space_roundtrip_both_orders():
     rng = np.random.default_rng(6)
     x = rng.random((2, 4, 5, 12 * 4)).astype(np.float32)

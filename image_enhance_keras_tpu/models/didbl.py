@@ -59,11 +59,16 @@ class DifvdsrDouble(nn.Module):
         elif self.upsampler == "subpixel":
             # Alternative head from the reference capability surface
             # (advanced.py:173-199): conv to r^2*features then pixel-shuffle.
+            # ICNR init (checkerboard-free subpixel conv, PAPERS.md
+            # arXiv:1707.02937): at init this equals nearest-resize + conv.
+            from image_enhance_keras_tpu.ops.pixel_shuffle import icnr_init
+
             h = nn.Conv(
                 self.features * self.scale * self.scale,
                 (3, 3),
                 padding="SAME",
                 dtype=self.dtype,
+                kernel_init=icnr_init(scale=self.scale, order="dcr"),
                 name="subpixel_conv",
             )(h)
             h = depth_to_space(h, self.scale, order="dcr")

@@ -17,7 +17,39 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["depth_to_space", "space_to_depth"]
+__all__ = ["depth_to_space", "space_to_depth", "icnr_init"]
+
+
+def icnr_init(base_init=None, scale: int = 4, order: str = "dcr"):
+    """ICNR kernel initializer for subpixel convs (checkerboard-free
+    sub-pixel convolution, Aitken et al. 2017): every r^2 output-channel
+    group shares one base filter, so conv+depth_to_space at init equals a
+    nearest-neighbour resize followed by a conv.
+
+    Returns a flax-style ``init(key, shape, dtype)`` for HWIO kernels whose
+    output channels are laid out for :func:`depth_to_space` with ``order``.
+    """
+    import flax.linen as nn
+
+    if base_init is None:
+        base_init = nn.initializers.lecun_normal()
+    r2 = scale * scale
+
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, cin, cout = shape
+        if cout % r2 != 0:
+            raise ValueError(f"output channels {cout} not divisible by scale^2={r2}")
+        c = cout // r2
+        base = base_init(key, (kh, kw, cin, c), dtype)
+        if order == "dcr":
+            # ch = (dy*r+dx)*C + c  -> tile along the leading group axis
+            k = jnp.tile(base[:, :, :, None, :], (1, 1, 1, r2, 1))
+            return k.reshape(kh, kw, cin, cout)
+        # keras_ref: ch = c*r*r + dx*r + dy -> repeat per channel
+        k = jnp.repeat(base, r2, axis=-1)
+        return k.reshape(kh, kw, cin, cout)
+
+    return init
 
 
 def depth_to_space(x: jnp.ndarray, r: int, order: str = "dcr") -> jnp.ndarray:

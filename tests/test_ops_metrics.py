@@ -165,6 +165,31 @@ def test_depth_to_space_dcr_matches_tf_layout():
                         )
 
 
+def test_icnr_init_equals_nearest_upsample():
+    """ICNR-initialised subpixel conv == nearest-neighbour x r at init when
+    the base filter is identity-like (checked via depth_to_space grouping)."""
+    import jax
+    from image_enhance_keras_tpu.ops.pixel_shuffle import icnr_init
+
+    r, cin, c = 2, 3, 4
+    init = icnr_init(scale=r, order="dcr")
+    k = np.asarray(init(jax.random.PRNGKey(0), (3, 3, cin, c * r * r)))
+    # all r^2 groups identical per output channel
+    g = k.reshape(3, 3, cin, r * r, c)
+    for i in range(1, r * r):
+        np.testing.assert_array_equal(g[..., i, :], g[..., 0, :])
+    # conv output then depth_to_space: every rxr cell identical at init
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 5, 5, cin)).astype(np.float32))
+    from jax import lax
+
+    y = lax.conv_general_dilated(
+        x, jnp.asarray(k), (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    up = np.asarray(depth_to_space(y, r, order="dcr"))
+    np.testing.assert_allclose(up[0, 0::r, 0::r], up[0, 1::r, 1::r], atol=1e-6)
+
+
 def test_depth_to_space_keras_ref_layout():
     # Reference phase shift (keras_subpixel.py:64-84):
     # out[h*r+dy, w*r+dx, c] == in[h, w, c*r*r + dx*r + dy]

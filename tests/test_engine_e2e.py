@@ -96,6 +96,24 @@ def test_upscale_frame_shape():
     assert out.dtype == np.uint8
 
 
+def test_bf16_profile_close_to_f32():
+    """bf16 serving profile output stays within a few grey levels of f32."""
+    import jax.numpy as jnp
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+    from image_enhance_keras_tpu.models import init_params
+    import jax
+
+    f32_mod = DifvdsrDouble(features=16, n_body53=2, n_light=1, n_tail53=0)
+    bf16_mod = DifvdsrDouble(features=16, n_body53=2, n_light=1, n_tail53=0, dtype=jnp.bfloat16)
+    params = init_params(f32_mod, jax.random.PRNGKey(0), input_hw=(16, 16))
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.random((1, 24, 24, 3)).astype(np.float32))
+    a = np.asarray(f32_mod.apply({"params": params}, x))
+    b = np.asarray(bf16_mod.apply({"params": params}, x))
+    assert np.mean(np.abs(a - b)) * 255 < 3.0
+
+
 def test_upscale_video_batch():
     r = _tiny_resolver()
     rng = np.random.default_rng(11)

@@ -86,7 +86,9 @@ def _make_chain_kernel(names, body, k_blocks, h, w, **body_kw):
 
         def copies(slot, k):
             return [
-                pltpu.make_async_copy(hbm[i].at[k], slots[i].at[slot], sem.at[slot, i])
+                pltpu.make_async_copy(
+                    hbm[i].at[k], slots[i].at[slot], sem.at[slot * n_t + i]
+                )
                 for i in range(n_t)
             ]
 
@@ -126,7 +128,7 @@ def _chain_call(x, stacked, names, body, k_blocks, interpret, **body_kw):
             *full_hbm,
         ],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[*slot_shapes, pltpu.SemaphoreType.DMA((2, n_t))],
+        scratch_shapes=[*slot_shapes, pltpu.SemaphoreType.DMA((2 * n_t,))],
         interpret=interpret,
     )(x, *stacked)
 

@@ -74,6 +74,10 @@ def _make_chain_kernel(names, body, k_blocks, h, w, **body_kw):
 
     Argument layout: x_ref, *hbm_weight_refs, out_ref, *vmem_slots, sem.
     hbm refs are (K, ...) stacked; slots are (2, ...) double buffers.
+
+    The block loop is a ``fori_loop`` with dynamic slot indices (the guide's
+    double-buffer pattern) — a Python-unrolled 16-block body blows Mosaic's
+    scoped-stack liveness (observed: 20MB scoped at 64x64).
     """
     n_t = len(names)
 
@@ -94,17 +98,24 @@ def _make_chain_kernel(names, body, k_blocks, h, w, **body_kw):
 
         for c in copies(0, 0):
             c.start()
-        act = x_ref[0]
-        for k in range(k_blocks):
-            cur = k % 2
-            nxt = (k + 1) % 2
-            if k + 1 < k_blocks:
+
+        def loop(k, act):
+            cur = jax.lax.rem(k, 2)
+            nxt = jax.lax.rem(k + 1, 2)
+
+            @pl.when(k + 1 < k_blocks)
+            def _():
                 for c in copies(nxt, k + 1):
                     c.start()
+
             for c in copies(cur, k):
                 c.wait()
-            ws = {name: slots[i][cur] for i, name in enumerate(names)}
-            act = body(act, ws, h, w, dtype=x_ref.dtype, **body_kw)
+            ws = {
+                name: slots[i][pl.ds(cur, 1)][0] for i, name in enumerate(names)
+            }
+            return body(act, ws, h, w, dtype=x_ref.dtype, **body_kw)
+
+        act = jax.lax.fori_loop(0, k_blocks, loop, x_ref[0])
         out_ref[0] = act
 
     return kernel

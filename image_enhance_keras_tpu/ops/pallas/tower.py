@@ -46,27 +46,38 @@ def _relu_pad(t_flat, h, w, pad, dtype):
 
 
 def _light53_body(x, ws, h, w, res_scale, identity_scale, dtype):
-    """x: (h, w, C) unpadded; ws: dict of weight arrays for one block."""
+    """x: (h, w, C) unpadded; ws: dict of weight arrays for one block.
+
+    VMEM discipline: each conv accumulates in f32 but its result is cast to
+    the compute dtype immediately, so at most one (h*w, C) f32 buffer is
+    live at a time (the final combine runs in the compute dtype — the
+    chain path targets the bf16 serving profile).
+    """
     xp = jnp.pad(x, ((2, 2), (2, 2), (0, 0)))
-    ident = x.reshape(h * w, -1).astype(jnp.float32)
-    bias_sum = (ws["ba2"] + ws["bb2"]).astype(jnp.float32)
-    acc = (identity_scale / res_scale) * ident + bias_sum
     ta = _conv_shifted(xp[1 : 1 + h + 2, 1 : 1 + w + 2, :], ws["wa1"], h, w, 3)
     ta = _relu_pad(ta + ws["ba1"].astype(jnp.float32), h, w, 2, dtype)
-    acc = acc + _conv_shifted(ta, ws["wa2"], h, w, 5)
+    ya = (
+        _conv_shifted(ta, ws["wa2"], h, w, 5) + ws["ba2"].astype(jnp.float32)
+    ).astype(dtype)
     tb = _conv_shifted(xp, ws["wb1"], h, w, 5)
     tb = _relu_pad(tb + ws["bb1"].astype(jnp.float32), h, w, 1, dtype)
-    acc = acc + _conv_shifted(tb, ws["wb2"], h, w, 3)
-    return (res_scale * acc).reshape(h, w, -1).astype(dtype)
+    yb = (
+        _conv_shifted(tb, ws["wb2"], h, w, 3) + ws["bb2"].astype(jnp.float32)
+    ).astype(dtype)
+    y = (ya + yb).reshape(h, w, -1)
+    return (
+        jnp.asarray(identity_scale, dtype) * x + jnp.asarray(res_scale, dtype) * y
+    )
 
 
 def _light_body(x, ws, h, w, res_scale, dtype):
     xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
     t = _conv_shifted(xp, ws["wa1"], h, w, 3)
     t = _relu_pad(t + ws["ba1"].astype(jnp.float32), h, w, 1, dtype)
-    u = _conv_shifted(t, ws["wa2"], h, w, 3) + ws["ba2"].astype(jnp.float32)
-    ident = x.reshape(h * w, -1).astype(jnp.float32)
-    return ((ident + res_scale * u)).reshape(h, w, -1).astype(dtype)
+    u = (
+        _conv_shifted(t, ws["wa2"], h, w, 3) + ws["ba2"].astype(jnp.float32)
+    ).astype(dtype)
+    return x + jnp.asarray(res_scale, dtype) * u.reshape(h, w, -1)
 
 
 def _make_chain_kernel(names, body, k_blocks, h, w, **body_kw):

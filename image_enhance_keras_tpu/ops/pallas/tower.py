@@ -141,6 +141,14 @@ def _chain_call(x, stacked, names, body, k_blocks, interpret, **body_kw):
         pltpu.VMEM((2,) + stacked[i].shape[1:], stacked[i].dtype) for i in range(n_t)
     ]
     kernel = _make_chain_kernel(names, body, k_blocks, h, w, **body_kw)
+    kwargs = {}
+    if not interpret:
+        # the 16MB scoped default under-reports what the part can hold; the
+        # chain needs ~22MB scoped at 64x64 tiles (pipeline buffers + weight
+        # slots + conv temps)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), dt),
@@ -152,6 +160,7 @@ def _chain_call(x, stacked, names, body, k_blocks, interpret, **body_kw):
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[*slot_shapes, pltpu.SemaphoreType.DMA((2 * n_t,))],
         interpret=interpret,
+        **kwargs,
     )(x, *stacked)
 
 

@@ -50,9 +50,12 @@ def main() -> int:
     batch = int(os.environ.get("IEK_BENCH_BATCH", "4"))
     iters = int(os.environ.get("IEK_BENCH_ITERS", "3"))
     chunk = int(os.environ.get("IEK_BENCH_CHUNK", "32"))
+    geometry = os.environ.get("IEK_BENCH_GEOMETRY", "ref")  # ref | perf
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else None
 
-    resolver = SuperResolver(model="didbl", dtype=dtype, tile_chunk=chunk)
+    resolver = SuperResolver(
+        model="didbl", dtype=dtype, tile_chunk=chunk, geometry=geometry
+    )
     params = resolver.params
     forward = resolver._forward_fn()
     plan = resolver.plan_for(size, size)
@@ -133,7 +136,7 @@ def main() -> int:
         "metric": (
             f"didbl x4 end-to-end on-device, {size}x{size} uint8 frames, {dtype_name}: "
             f"fast(whole-frame) {fast_out:.1f} out-Mpix/s ({fast_in:.2f} in-Mpix/s), "
-            f"patch(ref tiles 96/64/8) {patch_out:.1f} out-Mpix/s ({patch_in:.2f} in-Mpix/s); "
+            f"patch({geometry} tiles {resolver.patch}/{resolver.step}/{resolver.crop}) {patch_out:.1f} out-Mpix/s ({patch_in:.2f} in-Mpix/s); "
             f"baseline 100 Mpix/s on v5e-8 = 12.5/chip"
         ),
         "value": round(fast_out, 2),

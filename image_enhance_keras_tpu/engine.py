@@ -98,7 +98,10 @@ class SuperResolver:
         self.step = step
         self.crop = crop
         self.scalemulti = scalemulti
-        self.tile_chunk = tile_chunk
+        # tile_chunk is calibrated for 96px tiles; scale it with tile area so
+        # peak activation HBM (chunk * (patch*scale)^2 * C) stays constant
+        # across geometries (192px tiles are 4x the memory of 96px ones).
+        self.tile_chunk = max(1, tile_chunk * (96 * 96) // (patch * patch))
         self.mode = mode
         self.fast_max_pixels = fast_max_pixels
         self._jitted: dict[TilePlan, Any] = {}

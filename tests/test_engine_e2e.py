@@ -96,6 +96,39 @@ def test_upscale_frame_shape():
     assert out.dtype == np.uint8
 
 
+def test_pre_upscaled_input_flow():
+    """difvdsr-family engines bicubic-upscale first, then refine at 1x
+    through the same tiling machinery (models.py:652 flow)."""
+    import jax
+
+    from image_enhance_keras_tpu.models.difvdsr import Difvdsr
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+    from image_enhance_keras_tpu.models import init_params
+
+    module = Difvdsr(features=8, n_blocks=1)
+    r = SuperResolver.__new__(SuperResolver)
+    r.model_name = "difvdsr_tiny"
+    r.module = module
+    r.spec = ModelSpec("difvdsr_tiny", lambda **k: module, 1, True, "tiny", "w")
+    r.patch = 48
+    r.step = 32
+    r.crop = 8
+    r.scalemulti = 4
+    r.tile_chunk = 4
+    r.mode = "patch"
+    r.fast_max_pixels = 1 << 20
+    r.forward_mode = "xla"
+    r._dtype = None
+    r._jitted = {}
+    r._jitted_fast = {}
+    r.params = init_params(module, jax.random.PRNGKey(0), input_hw=(16, 16))
+
+    img = np.random.default_rng(13).integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    out = r.upscale(img)
+    assert out.shape == (80, 96, 3)  # x4 output despite net_scale == 1
+    assert out.dtype == np.uint8
+
+
 def test_bf16_profile_close_to_f32():
     """bf16 serving profile output stays within a few grey levels of f32."""
     import jax.numpy as jnp

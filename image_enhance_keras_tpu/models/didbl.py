@@ -53,8 +53,24 @@ class DifvdsrDouble(nn.Module):
         for i in range(self.n_light):
             h = LightBlock(self.features, dtype=self.dtype, name=f"light_{i}")(h)
         if self.upsampler == "tf1_bilinear":
-            h = resize_bilinear_tf1(
-                h, (self.scale * h.shape[-3], self.scale * h.shape[-2])
+            # in the bf16 profile run the resize matmuls at DEFAULT precision:
+            # the bilinear weights (quarters) are exact in bf16 and the MXU
+            # accumulates in f32, so this is lossless and ~2x faster than the
+            # f32-HIGHEST path used for metric-grade f32 inference.
+            from jax import lax as _lax
+
+            prec = (
+                _lax.Precision.DEFAULT
+                if self.dtype == jnp.bfloat16
+                else _lax.Precision.HIGHEST
+            )
+            from image_enhance_keras_tpu.ops.resize import resize2d
+
+            h = resize2d(
+                h,
+                (self.scale * h.shape[-3], self.scale * h.shape[-2]),
+                "tf1_bilinear",
+                precision=prec,
             )
         elif self.upsampler == "subpixel":
             # Alternative head from the reference capability surface

@@ -15,8 +15,6 @@ SURVEY.md section 2.5 — superseded here).
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import jax.numpy as jnp
 

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from image_enhance_keras_tpu.models.blocks import LightBlock, Light53Block
-from image_enhance_keras_tpu.ops.resize import resize_bilinear_tf1
 from image_enhance_keras_tpu.ops.pixel_shuffle import depth_to_space
 
 __all__ = ["DifvdsrDouble"]

@@ -15,7 +15,6 @@ mirrors scipy's default mode='reflect' (== np.pad mode='symmetric').
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 import jax.numpy as jnp

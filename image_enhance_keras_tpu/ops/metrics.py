@@ -16,10 +16,7 @@ mirrors ``multichannel=True`` (per-channel SSIM, averaged).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from image_enhance_keras_tpu.ops.filters import separable_filter2d, _gaussian_kernel1d

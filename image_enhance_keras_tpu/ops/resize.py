@@ -17,7 +17,6 @@ exact (the weights have at most two nonzeros per row).
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 import jax.numpy as jnp

@@ -15,9 +15,8 @@ collectives over ICI:
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

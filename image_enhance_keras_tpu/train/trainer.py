@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
 from typing import Any, Callable
 
 import numpy as np

@@ -3,7 +3,7 @@
 The reference's entire device story is ``CUDA_VISIBLE_DEVICES`` pinning
 (main_dirpath.py:3).  TPU-native replacement: a 1-D ``jax.sharding.Mesh``
 over the slice with a ``data`` axis; XLA collectives over ICI do the rest.
-A ``tensor`` axis can be added for channel-sharded convs, but this 1.5M-param
+A ``tensor`` axis can be added for channel-sharded convs, but this ~22M-param
 conv family fits one chip's HBM trivially (SURVEY.md 2.9) — DP is the real
 scaling axis.
 """

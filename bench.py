@@ -95,9 +95,37 @@ def main() -> int:
         return (time.perf_counter() - t0) / iters
 
     out_px = 16 * size * size * batch
+
+    # Global watchdog: remote compiles occasionally wedge; never hang the
+    # driver without emitting a JSON line.
+    import os as _os0
+    import threading as _th0
+
+    def _bail_all():
+        print(
+            json.dumps(
+                {
+                    "metric": "didbl x4 bench: compile did not complete "
+                    "within the watchdog window (relay stall)",
+                    "value": 0.0,
+                    "unit": "output Mpix/s/chip",
+                    "vs_baseline": 0.0,
+                }
+            ),
+            flush=True,
+        )
+        _os0._exit(0)
+
+    global_watchdog = _th0.Timer(
+        float(os.environ.get("IEK_BENCH_GLOBAL_TIMEOUT", "1800")), _bail_all
+    )
+    global_watchdog.daemon = True
+    global_watchdog.start()
+
     dt_fast = timed(run_fast)
     fast_out = out_px / dt_fast / 1e6
     fast_in = fast_out / 16.0
+    global_watchdog.cancel()
 
     # Watchdog: if the tiled-path compile wedges (observed occasionally on
     # the remote-compile relay), still emit the fast-mode result.

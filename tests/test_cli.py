@@ -43,6 +43,18 @@ def test_main_dirpath_cli(tmp_path, tiny_zoo):
     assert rc == 0
 
 
+def test_main_dirpath_cli_sharded(tmp_path, tiny_zoo):
+    """--devices N routes through ShardedResolver on the virtual mesh."""
+    from image_enhance_keras_tpu.cli.main_dirpath import main
+
+    rng = np.random.default_rng(5)
+    imwrite(str(tmp_path / "c.png"), rng.integers(0, 256, (48, 48, 3), dtype=np.uint8))
+    rc = main([str(tmp_path), "--devices", "2", "--patch_size", "32", "--step", "16"])
+    assert rc == 0
+    out = imread(str(tmp_path / "c_scaled(1x).png"))
+    assert out.shape == (192, 192, 3)
+
+
 def test_scorpath_cli(tmp_path):
     from image_enhance_keras_tpu.cli.scorpath import main
 

@@ -140,6 +140,27 @@ def test_keras_import_roundtrip(tmp_path):
     assert y.shape == (1, 32, 32, 3)
 
 
+def test_keras_import_roundtrip_difvdsr(tmp_path):
+    """Import round-trip for the diff-block family (4 convs per block)."""
+    model, _ = get_model("difvdsr")
+    params = init_params(model, input_hw=(8, 8))
+    order = keras_conv_order("difvdsr")
+
+    def get_node(tree, keys):
+        for k in keys:
+            tree = tree[k]
+        return tree
+
+    shapes = [tuple(get_node(params, keys)["kernel"].shape) for keys in order]
+    path = str(tmp_path / "difvdsr.h5")
+    weights = _write_fake_keras_h5(path, shapes)
+    new_params = import_keras_weights(path, "difvdsr", params)
+    # spot-check first, middle and last conv
+    for idx in (0, len(order) // 2, len(order) - 1):
+        node = get_node(new_params, order[idx])
+        np.testing.assert_array_equal(np.asarray(node["kernel"]), weights[idx][0])
+
+
 def test_keras_import_shape_mismatch_raises(tmp_path):
     model, _ = get_model("didbl")
     params = init_params(model, input_hw=(8, 8))

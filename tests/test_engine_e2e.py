@@ -168,6 +168,22 @@ def test_upscale_patch_average_same_size():
     assert out.dtype == np.uint8
 
 
+def test_geometry_presets_and_chunk_autoscale():
+    """Geometry presets set patch/step/crop; tile_chunk scales inversely with
+    tile area so peak activation HBM is geometry-independent."""
+    from image_enhance_keras_tpu.engine import SuperResolver, TILE_GEOMETRIES
+
+    assert TILE_GEOMETRIES["ref"] == (96, 64, 8)
+    patch, step, crop = TILE_GEOMETRIES["perf"]
+    assert patch - step >= 2 * crop  # seam-free stitch condition
+    # autoscale: chunk 16 at 96px -> 4 at 192px
+    r = SuperResolver.__new__(SuperResolver)
+    # exercise just the arithmetic used in __init__
+    assert max(1, 16 * (96 * 96) // (192 * 192)) == 4
+    assert max(1, 16 * (96 * 96) // (96 * 96)) == 16
+    assert max(1, 16 * (96 * 96) // (384 * 384)) == 1
+
+
 def test_output_name_contract():
     assert output_name("/a/b/bird_GT.bmp") == "/a/b/bird_GT_scaled(1x).bmp"
     assert output_name("x/img.png", "s", 4) == "x/img_s(4x).png"

@@ -23,6 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scale", default=1, type=int, help="scale label in prediction names")
     p.add_argument("--crop", default=10, type=int, help="border crop (reference: 10)")
     p.add_argument("--json", default=None, help="write means to this JSON file")
+    p.add_argument("--allow-shape-mismatch", action="store_true",
+                   help="score the top-left common region of mismatched pairs "
+                        "instead of erroring")
     p.add_argument("--generate", action="store_true",
                    help="degrade+reconstruct with --model instead of reading saved outputs")
     p.add_argument("--model", default="didbl")
@@ -44,9 +47,15 @@ def main(argv=None) -> int:
     else:
         from image_enhance_keras_tpu.eval import score_directory
 
-        scores, means = score_directory(
-            args.path_dir, suffix=args.suffix, scale_label=args.scale, crop_border=args.crop
-        )
+        try:
+            scores, means = score_directory(
+                args.path_dir, suffix=args.suffix, scale_label=args.scale,
+                crop_border=args.crop,
+                allow_shape_mismatch=args.allow_shape_mismatch,
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     if args.json and means:
         with open(args.json, "w") as f:
             json.dump(means, f, indent=2)

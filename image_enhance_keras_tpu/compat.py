@@ -213,11 +213,25 @@ class DifvdsrDouble:
                          suffix="scaled", patch_size=96, scalemulti=4, step_patch=64,
                          mode="patch", verbose=True):
         r = self._ensure()
+        if (patch_size, step_patch, scalemulti, mode) != (
+            r.patch, r.step, r.scalemulti, r.mode
+        ):
+            # honor non-default geometry (reference callers pass
+            # patch_size/step_patch freely, models.py:184-208): retarget the
+            # engine and drop compiled programs for the old tile plan
+            r.patch, r.step = patch_size, step_patch
+            r.scalemulti, r.mode = scalemulti, mode
+            r.tile_chunk = max(1, 16 * (96 * 96) // (patch_size * patch_size))
+            r._jitted.clear()
+            r._jitted_fast.clear()
         if return_image:
             from image_enhance_keras_tpu.data.io import imread
 
             return r.upscale(imread(img_path))
-        return r.upscale_file(img_path, suffix=suffix, scale_label=self.scale_factor)
+        return r.upscale_file(
+            img_path, suffix=suffix, scale_label=self.scale_factor,
+            save_intermediate=save_intermediate,
+        )
 
     def upVideo(self, img_obj):
         return self._ensure().upscale_frame(np.asarray(img_obj))

@@ -18,7 +18,6 @@ one uint8 image down.
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Any
@@ -145,10 +144,16 @@ class SuperResolver:
                 treedef = _jax.tree_util.tree_structure(self.params)
                 if len(leaves) < len(want):
                     raise
-                picked = [
-                    np.asarray(r, dtype=np.asarray(t).dtype)
-                    for t, r in zip(want, leaves[: len(want)])
-                ]
+                picked = []
+                for i, (t, r) in enumerate(zip(want, leaves[: len(want)])):
+                    t_np, r_np = np.asarray(t), np.asarray(r)
+                    if t_np.shape != r_np.shape:
+                        raise ValueError(
+                            f"checkpoint {path!r} is not a {self.model_name} "
+                            f"TrainState: leaf {i} has shape {r_np.shape}, "
+                            f"model expects {t_np.shape}"
+                        )
+                    picked.append(r_np.astype(t_np.dtype))
                 self.params = _jax.tree_util.tree_unflatten(treedef, picked)
         self.params = jax.device_put(self.params)
 
@@ -337,10 +342,16 @@ class SuperResolver:
             self._jitted[key] = fn
         return np.asarray(fn(self.params, jnp.asarray(frames)))
 
-    @functools.lru_cache(maxsize=32)
     def _frame_fn(self, hw):
-        forward = self._forward_fn()
-        return jax.jit(lambda p, x: forward(p, x))
+        # per-instance cache like _jitted/_jitted_fast (an lru_cache on the
+        # bound method would key on `self` and pin resolvers alive globally)
+        key = ("frame", tuple(hw))
+        fn = self._jitted.get(key)
+        if fn is None:
+            forward = self._forward_fn()
+            fn = jax.jit(lambda p, x: forward(p, x))
+            self._jitted[key] = fn
+        return fn
 
     def upscale_file(
         self,

@@ -62,11 +62,23 @@ def _crop_border(img: np.ndarray, border: int) -> np.ndarray:
 
 
 def score_pair(
-    gt: np.ndarray, pred: np.ndarray, name: str = "", crop_border: int = 10
+    gt: np.ndarray,
+    pred: np.ndarray,
+    name: str = "",
+    crop_border: int = 10,
+    allow_shape_mismatch: bool = False,
 ) -> PairScore:
     if gt.shape != pred.shape:
-        # reference crops to the smaller common area implicitly by failing;
-        # we align to the overlapping region and warn.
+        # The reference would fail on mismatched shapes (scorpath.py does
+        # elementwise math on both).  A wrongly-scaled prediction must be an
+        # error, not a plausible-looking mean — cropping to the common
+        # region is opt-in.
+        if not allow_shape_mismatch:
+            raise ValueError(
+                f"{name or 'pair'}: shape mismatch gt={gt.shape} "
+                f"pred={pred.shape}; pass allow_shape_mismatch=True to "
+                f"score the top-left common region"
+            )
         h = min(gt.shape[0], pred.shape[0])
         w = min(gt.shape[1], pred.shape[1])
         log.warning("%s: shape mismatch gt=%s pred=%s; scoring common %dx%d",
@@ -102,6 +114,7 @@ def score_directory(
     scale_label: int = 1,
     crop_border: int = 10,
     verbose: bool = True,
+    allow_shape_mismatch: bool = False,
 ) -> tuple[list[PairScore], dict[str, float]]:
     scores = []
     for gt_path, pred_path in find_pairs(dir_path, suffix, scale_label):
@@ -110,6 +123,7 @@ def score_directory(
             imread(pred_path),
             name=os.path.basename(gt_path),
             crop_border=crop_border,
+            allow_shape_mismatch=allow_shape_mismatch,
         )
         scores.append(s)
         if verbose:

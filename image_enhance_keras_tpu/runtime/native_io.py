@@ -55,6 +55,7 @@ def _lib():
         ctypes.c_int,
         u8p,
     ]
+    lib.iek_gather_patches.restype = ctypes.c_int
     return lib
 
 
@@ -119,7 +120,22 @@ def imread_batch(paths: list[str], threads: int = 8) -> list[np.ndarray | None]:
 
 
 def gather_patches(img: np.ndarray, ys: np.ndarray, xs: np.ndarray, p: int) -> np.ndarray:
-    """(H,W,3) uint8 + corner lists -> (N,p,p,3) uint8 via native memcpy."""
+    """(H,W,3) uint8 + corner lists -> (N,p,p,3) uint8 via native memcpy.
+
+    Corners must lie in [0, H-p] x [0, W-p]; out-of-range corners raise
+    (the C side also clamps defensively, so stale binaries can't overread).
+    """
+    h, w = img.shape[:2]
+    ys = np.asarray(ys, np.int64)
+    xs = np.asarray(xs, np.int64)
+    if p <= 0 or p > h or p > w:
+        raise ValueError(f"patch {p} does not fit a {h}x{w} image")
+    if len(ys) and (
+        ys.min() < 0 or xs.min() < 0 or ys.max() > h - p or xs.max() > w - p
+    ):
+        raise ValueError(
+            f"patch corners out of range for {h}x{w} image with p={p}"
+        )
     lib = _lib()
     n = len(ys)
     if lib is None:

@@ -52,10 +52,19 @@ def extract_dense_patches(
 def _scatter_plan(h: int, w: int, patch: int, step: int, pad: int):
     """Flattened output indices for every (patch, pixel) pair + hit counts.
 
-    ``pad``: interior patches contribute only their central
-    (patch-2*pad)² window — the reference's border trim in
-    reconstruct_from_patches_2dlocal (img_utils.py:442-511), where patches
-    not on the image edge are cropped by `pad` before accumulation.
+    ``pad``: fully-interior patches contribute only their central
+    (patch-2*pad)² window; a patch at the FIRST or LAST grid position in
+    EITHER axis is pasted whole — the reference's all-or-nothing edge
+    exemption in reconstruct_from_patches_2dlocal (img_utils.py:469-481:
+    trim iff ``i>0 and j>0 and i<n_h-1 and j<n_w-1``).
+
+    One deliberate deviation: the reference's "last" check uses the dense
+    index ``n_h-1``, which is only ever a stride position when
+    ``(H-patch) % step == 0`` — otherwise its bottom/right rows get zero
+    coverage and the final per-pixel divide is 0/0.  We treat the last
+    *stride* position as "last", which coincides with the reference
+    whenever the reference is well-defined and guarantees full coverage
+    otherwise.
     """
     ys, xs = dense_patch_grid(h, w, patch, step)
     n = len(ys) * len(xs)
@@ -64,15 +73,13 @@ def _scatter_plan(h: int, w: int, patch: int, step: int, pad: int):
     k = 0
     for y in ys:
         for x in xs:
-            py0 = 0 if y == 0 else pad
-            py1 = patch if y == ys[-1] else patch - pad
-            px0 = 0 if x == 0 else pad
-            px1 = patch if x == xs[-1] else patch - pad
+            edge = y == 0 or x == 0 or y == ys[-1] or x == xs[-1]
+            trim = 0 if edge else pad
             rows = y + np.arange(patch)
             cols = x + np.arange(patch)
             idx[k] = rows[:, None] * w + cols[None, :]
             m = np.zeros((patch, patch), np.float32)
-            m[py0:py1, px0:px1] = 1.0
+            m[trim : patch - trim, trim : patch - trim] = 1.0
             mask[k] = m
             k += 1
     counts = np.zeros((h * w,), np.float32)

@@ -121,7 +121,13 @@ static int png_decode_file(FILE *f, uint8_t **out, int *h, int *w) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return -1;
   }
+  // volatile: these must survive the longjmp so the error branch can free
+  // whatever was allocated before libpng bailed.
+  uint8_t *volatile img = nullptr;
+  png_bytep *volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {
+    free(rows);
+    free(img);
     png_destroy_read_struct(&png, &info, nullptr);
     return -2;
   }
@@ -144,16 +150,22 @@ static int png_decode_file(FILE *f, uint8_t **out, int *h, int *w) {
     png_destroy_read_struct(&png, &info, nullptr);
     return -3;
   }
-  uint8_t *img = (uint8_t *)malloc((size_t)iw * ih * 3);
+  img = (uint8_t *)malloc((size_t)iw * ih * 3);
   if (!img) {
     png_destroy_read_struct(&png, &info, nullptr);
     return -4;
   }
-  png_bytep *rows = (png_bytep *)malloc(sizeof(png_bytep) * ih);
+  rows = (png_bytep *)malloc(sizeof(png_bytep) * ih);
+  if (!rows) {
+    free(img);
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -4;
+  }
   for (png_uint_32 y = 0; y < ih; y++) rows[y] = img + (size_t)y * iw * 3;
   png_read_image(png, rows);
   png_read_end(png, nullptr);
   free(rows);
+  rows = nullptr;
   png_destroy_read_struct(&png, &info, nullptr);
   *out = img;
   *h = (int)ih;
@@ -192,6 +204,8 @@ static int png_encode_file(FILE *f, const uint8_t *rgb, int h, int w) {
 static int ppm_decode(FILE *f, uint8_t **out, int *h, int *w) {
   int iw, ih, maxv;
   if (fscanf(f, "P6 %d %d %d", &iw, &ih, &maxv) != 3 || maxv != 255) return -1;
+  // reject non-positive or absurd dims (bogus malloc size otherwise)
+  if (iw <= 0 || ih <= 0 || (int64_t)iw * ih > (int64_t)1 << 32) return -1;
   fgetc(f);  // single whitespace
   size_t n = (size_t)iw * ih * 3;
   uint8_t *img = (uint8_t *)malloc(n);
@@ -318,16 +332,27 @@ int iek_imread_batch(const char *const *paths, int n, int threads,
 // ---------------------------------------------------------------------------
 
 // Copy `count` patches of size (p, p, 3) from an RGB image into `dst`
-// (count * p * p * 3 bytes) given top-left corners ys/xs.
-void iek_gather_patches(const uint8_t *img, int h, int w, const int *ys,
-                        const int *xs, int count, int p, uint8_t *dst) {
-  (void)h;
+// (count * p * p * 3 bytes) given top-left corners ys/xs.  Corners are
+// clamped into [0, h-p] x [0, w-p] so no request can read past the buffer;
+// returns the number of corners that had to be clamped (0 = all in range),
+// or -1 if the patch doesn't fit the image at all.
+int iek_gather_patches(const uint8_t *img, int h, int w, const int *ys,
+                       const int *xs, int count, int p, uint8_t *dst) {
+  if (p <= 0 || p > h || p > w) return -1;
+  int clamped = 0;
   for (int k = 0; k < count; k++) {
-    const uint8_t *src0 = img + ((size_t)ys[k] * w + xs[k]) * 3;
+    int y = ys[k], x = xs[k];
+    if (y < 0 || x < 0 || y > h - p || x > w - p) {
+      y = y < 0 ? 0 : (y > h - p ? h - p : y);
+      x = x < 0 ? 0 : (x > w - p ? w - p : x);
+      clamped++;
+    }
+    const uint8_t *src0 = img + ((size_t)y * w + x) * 3;
     uint8_t *d = dst + (size_t)k * p * p * 3;
     for (int r = 0; r < p; r++)
       memcpy(d + (size_t)r * p * 3, src0 + (size_t)r * w * 3, (size_t)p * 3);
   }
+  return clamped;
 }
 
 }  // extern "C"

@@ -72,3 +72,21 @@ def test_model_class_surface(tmp_path):
     imwrite(p, frame)
     dst = m.upscaleStepPatch(p)
     assert dst.endswith("x_scaled(1x).png")
+
+
+def test_upscale_step_patch_honors_geometry(tmp_path):
+    """A non-default patch_size/step_patch must actually change the tile plan
+    (reference callers pass geometry freely, models.py:184-208)."""
+    from image_enhance_keras_tpu.data.io import imwrite
+    from tests.test_engine_e2e import _tiny_resolver
+
+    rng = np.random.default_rng(7)
+    m = compat.DifvdsrDouble(scale_factor=1)
+    m._resolver = _tiny_resolver()
+    p = str(tmp_path / "g.png")
+    imwrite(p, rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
+    m.upscaleStepPatch(p, patch_size=24, step_patch=16)
+    r = m._resolver
+    assert (r.patch, r.step) == (24, 16)
+    plan = r.plan_for(40, 40)
+    assert plan.patch == 24 and plan.step == 16

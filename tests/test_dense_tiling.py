@@ -40,11 +40,14 @@ def test_reconstruct_average_identity_stride1():
     np.testing.assert_allclose(np.asarray(back), img, atol=1e-5)
 
 
-def test_reconstruct_average_oracle_with_pad():
-    """Stride grid with interior trim matches a loop oracle
-    (reconstruct_from_patches_2dlocal, img_utils.py:442-511)."""
+@pytest.mark.parametrize("h,w", [(16, 16), (20, 24)])
+def test_reconstruct_average_oracle_with_pad(h, w):
+    """Stride grid with the reference's all-or-nothing edge trim matches a
+    loop oracle mirroring reconstruct_from_patches_2dlocal
+    (img_utils.py:469-481: trim only fully-interior patches, paste whole if
+    the patch is first/last in either axis)."""
     rng = np.random.default_rng(2)
-    h, w, p, step, pad = 16, 16, 8, 4, 2
+    p, step, pad = 8, 4, 2
     img = rng.random((h, w, 3)).astype(np.float32)
     patches = np.asarray(extract_dense_patches(jnp.asarray(img), p, step))
 
@@ -55,14 +58,13 @@ def test_reconstruct_average_oracle_with_pad():
     k = 0
     for y in ys:
         for x in xs:
-            y0 = 0 if y == 0 else pad
-            y1 = p if y == ys[-1] else p - pad
-            x0 = 0 if x == 0 else pad
-            x1 = p if x == xs[-1] else p - pad
-            acc[y + y0 : y + y1, x + x0 : x + x1] += patches[k, y0:y1, x0:x1]
-            cnt[y + y0 : y + y1, x + x0 : x + x1] += 1
+            interior = y > 0 and x > 0 and y < ys[-1] and x < xs[-1]
+            t = pad if interior else 0
+            acc[y + t : y + p - t, x + t : x + p - t] += patches[k, t : p - t, t : p - t]
+            cnt[y + t : y + p - t, x + t : x + p - t] += 1
             k += 1
-    want = acc / np.maximum(cnt, 1)
+    assert cnt.min() > 0  # full coverage (the repo's last-stride rule)
+    want = acc / cnt
 
     got = np.asarray(reconstruct_average(jnp.asarray(patches), (h, w), step=step, pad=pad))
     np.testing.assert_allclose(got, want, atol=1e-5)

@@ -3,6 +3,8 @@ synthetic golden files."""
 
 import os
 
+import pytest
+
 import numpy as np
 
 from image_enhance_keras_tpu.data.io import imwrite
@@ -59,3 +61,13 @@ def test_bicubic_resolver_contract():
     out = BicubicResolver(4).upscale(img)
     assert out.shape == (80, 96, 3)
     assert out.dtype == np.uint8
+
+
+def test_shape_mismatch_raises_by_default():
+    rng = np.random.default_rng(5)
+    gt = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    pred = rng.integers(0, 256, (44, 40, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        score_pair(gt, pred, name="x")
+    s = score_pair(gt, pred, name="x", allow_shape_mismatch=True)
+    assert np.isfinite(s.psnr_y)

@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip-norm", type=float, default=None,
                    help="global-norm gradient clipping")
     p.add_argument("--lr-schedule", default="constant", choices=["constant", "cosine"])
+    p.add_argument("--monitor", default="val_ssim_y",
+                   choices=["val_ssim_y", "val_psnr_y", "val_psnr", "val_loss"],
+                   help="best-checkpoint metric; val_ssim_y = the full-image "
+                        "scoring-protocol gate (default)")
     return p
 
 
@@ -57,6 +61,7 @@ def main(argv=None) -> int:
         ckpt_every=args.ckpt_every,
         clip_norm=args.clip_norm,
         lr_schedule=args.lr_schedule,
+        monitor=args.monitor,
     )
     from image_enhance_keras_tpu.data.pipeline import load_image_dir
     from image_enhance_keras_tpu.train.trainer import Trainer

@@ -27,8 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("imgpath", help="directory of images to upscale")
     p.add_argument("--model", default="didbl", choices=sorted(MODEL_REGISTRY))
     p.add_argument("--scale", default=1, type=int, help="scale label used in output names")
-    p.add_argument("--mode", default="patch", choices=["fast", "patch"],
-                   help="patch: reference-exact overlapped tiling; fast: whole-frame forward")
+    p.add_argument("--mode", default="patch", choices=["fast", "patch", "split"],
+                   help="patch: reference-exact overlapped tiling; fast: whole-frame "
+                        "forward; split: whole-frame body + halo-striped tail "
+                        "(bit-identical to fast, bounded memory — the serving default)")
     p.add_argument("--forward", default="xla", choices=["xla", "pallas"],
                    help="conv tower execution path (pallas = fused VMEM kernels)")
     p.add_argument("--save_intermediate", default=False, action="store_true")

@@ -38,10 +38,10 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.generate:
         from image_enhance_keras_tpu.engine import SuperResolver
-        from image_enhance_keras_tpu.eval import evaluate_resolver_on_dir
+        from image_enhance_keras_tpu.eval import evaluate_model
 
         resolver = SuperResolver(model=args.model, weights=args.weights)
-        scores, means = evaluate_resolver_on_dir(
+        scores, means = evaluate_model(
             resolver, args.path_dir, scale=args.scale_factor, crop_border=args.crop
         )
     else:

@@ -244,6 +244,8 @@ class DifvdsrDouble:
         return trainer.fit()
 
     def evaluate(self, val_dir="val_images/set5nitre"):
-        from image_enhance_keras_tpu.eval import evaluate_resolver_on_dir
+        # reference dispatch models.py:159-163 (divisible-shape driver for
+        # flagged models; standard loop for the shipped zoo)
+        from image_enhance_keras_tpu.eval import evaluate_model
 
-        return evaluate_resolver_on_dir(self._ensure(), val_dir)
+        return evaluate_model(self._ensure(), val_dir)

@@ -6,4 +6,6 @@ from image_enhance_keras_tpu.eval.scorer import (  # noqa: F401
 from image_enhance_keras_tpu.eval.evaluate import (  # noqa: F401
     degrade,
     evaluate_resolver_on_dir,
+    evaluate_resolver_on_dir_divisible,
+    evaluate_model,
 )

@@ -17,7 +17,12 @@ from image_enhance_keras_tpu.utils.logging import get_logger
 
 import jax.numpy as jnp
 
-__all__ = ["degrade", "evaluate_resolver_on_dir"]
+__all__ = [
+    "degrade",
+    "evaluate_resolver_on_dir",
+    "evaluate_resolver_on_dir_divisible",
+    "evaluate_model",
+]
 
 log = get_logger(__name__)
 
@@ -85,3 +90,90 @@ def evaluate_resolver_on_dir(
                 f"SSIM-Y {means['ssim_y']:.4f}  SSIM-RGB {means['ssim_rgb']:.4f}"
             )
     return scores, means
+
+
+def evaluate_resolver_on_dir_divisible(
+    resolver,
+    gt_dir: str,
+    scale: int = 4,
+    crop_border: int = 10,
+    save_dir: str | None = None,
+    suffix_filter: str = "scaled",
+    verbose: bool = True,
+    model_name: str = "model",
+) -> tuple[list[PairScore], dict[str, float]]:
+    """The reference's distinct ``_evaluate_denoise`` driver
+    (models.py:1625-1721), for models flagged ``requires_divisible_shape``
+    (dispatch at models.py:159-163).  Differences vs the standard driver:
+
+      * non-conformant ground truths are bicubic-RESIZED (not cropped) to
+        ``((dim // scale) // 4) * 4 * scale`` (models.py:1648-1657);
+      * the forward is always whole-frame (K.function single predict,
+        models.py:1684-1696) — no tiling;
+      * outputs land in ``save_dir`` as ``<model>_<stem>_generated.png``
+        (models.py:1712).
+
+    The reference's unit bug at models.py:1707 (``psnr(y/1, clip(pred, 0,
+    255) / 255)`` — mixing [0,1] and [0,255] scales when scale_pred=False)
+    is not reproduced; scoring uses the NTIRE protocol consistently.
+    """
+    scores = []
+    tag = f"_{suffix_filter}("
+    unit = 4 * scale
+    for path in list_images(gt_dir):
+        if tag in os.path.basename(path):
+            continue
+        gt = imread(path)
+        h, w = gt.shape[:2]
+        if (h // scale) % 4 != 0 or (w // scale) % 4 != 0 or h % 2 or w % 2:
+            h2, w2 = (h // unit) * unit, (w // unit) * unit
+            if verbose:
+                print(
+                    f"{os.path.basename(path)}: coercing to divisible size "
+                    f"({h}x{w}) -> ({h2}x{w2})"
+                )
+            gt = np.asarray(
+                resize_pil_uint8(jnp.asarray(gt), (h2, w2))
+            ).astype(np.uint8)
+        lr = degrade(gt, scale)
+        if getattr(resolver, "spec", None) is not None and resolver.spec.pre_upscaled_input:
+            sr = resolver.upscale(lr)
+        else:
+            # whole-frame single forward, never tiled (models.py:1684)
+            sr = (
+                resolver.upscale_frame(lr)
+                if hasattr(resolver, "upscale_frame")
+                else resolver.upscale(lr)
+            )
+        s = score_pair(gt, sr, name=os.path.basename(path), crop_border=crop_border)
+        scores.append(s)
+        if verbose:
+            print(f"{s.name}: PSNR-Y {s.psnr_y:.4f}  SSIM-Y {s.ssim_y:.4f}  SSIM-RGB {s.ssim_rgb:.4f}")
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            stem = os.path.splitext(os.path.basename(path))[0]
+            imwrite(os.path.join(save_dir, f"{model_name}_{stem}_generated.png"), sr)
+    means = {}
+    if scores:
+        means = {
+            "psnr_y": float(np.mean([s.psnr_y for s in scores])),
+            "ssim_y": float(np.mean([s.ssim_y for s in scores])),
+            "ssim_rgb": float(np.mean([s.ssim_rgb for s in scores])),
+        }
+        if verbose:
+            print(
+                f"MEAN over {len(scores)}: PSNR-Y {means['psnr_y']:.4f}  "
+                f"SSIM-Y {means['ssim_y']:.4f}  SSIM-RGB {means['ssim_rgb']:.4f}"
+            )
+    return scores, means
+
+
+def evaluate_model(resolver, gt_dir: str, **kw):
+    """The reference ``evaluate`` dispatch (models.py:159-163): the
+    divisible-shape driver for flagged models, the standard loop otherwise."""
+    spec = getattr(resolver, "spec", None)
+    if spec is not None and getattr(spec, "requires_divisible_shape", False):
+        kw.setdefault("model_name", spec.name)
+        return evaluate_resolver_on_dir_divisible(resolver, gt_dir, **kw)
+    kw.pop("model_name", None)
+    return evaluate_resolver_on_dir(resolver, gt_dir, **kw)

@@ -10,12 +10,16 @@ Exact graph of reference models.py:1159-1222:
   -> 3x3 conv -> 3 feats, relu            (models.py:1199)
 
 TPU-first notes:
-  * The x4 upsample is two dense MXU matmuls (ops.resize) with exact TF1
-    align_corners=False semantics — no gathers, static shapes.
+  * The x4 upsample is the exact TF1 align_corners=False phase-interleave
+    (ops.resize) — pure elementwise VPU work, no gathers, static shapes.
   * ``dtype=bfloat16`` runs the whole tower in bf16 on the MXU (serving
     profile); params stay f32.
-  * The post-upsample tail runs at 16x the pixel count and dominates FLOPs;
-    see ops/pallas for the fused block kernels.
+  * The graph is split into ``body`` (everything at LR, ~35% of FLOPs) and
+    ``tail`` (upsample + post-upsample blocks at 16x pixel count, ~65%)
+    so the serving engine can run the tail over halo'd spatial stripes with
+    bounded HBM while staying bit-identical to the whole-frame forward
+    (engine mode='split').  Param tree is unchanged vs the monolithic
+    definition (same explicit scope names).
 """
 
 from __future__ import annotations
@@ -42,54 +46,67 @@ class DifvdsrDouble(nn.Module):
     upsampler: str = "tf1_bilinear"  # or "subpixel" (depth_to_space head)
     dtype: Any = None  # activation dtype; None -> f32. bf16 for serving.
 
-    @nn.compact
-    def __call__(self, x):
-        x = x.astype(self.dtype or x.dtype)
-        h = nn.Conv(self.features, (1, 1), padding="SAME", dtype=self.dtype, name="level1")(x)
-        h = nn.relu(h)
-        for i in range(self.n_body53):
-            h = Light53Block(self.features, dtype=self.dtype, name=f"body53_{i}")(h)
-        for i in range(self.n_light):
-            h = LightBlock(self.features, dtype=self.dtype, name=f"light_{i}")(h)
-        if self.upsampler == "tf1_bilinear":
-            # in the bf16 profile run the resize matmuls at DEFAULT precision:
-            # the bilinear weights (quarters) are exact in bf16 and the MXU
-            # accumulates in f32, so this is lossless and ~2x faster than the
-            # f32-HIGHEST path used for metric-grade f32 inference.
-            from jax import lax as _lax
-
-            prec = (
-                _lax.Precision.DEFAULT
-                if self.dtype == jnp.bfloat16
-                else _lax.Precision.HIGHEST
-            )
-            from image_enhance_keras_tpu.ops.resize import resize2d
-
-            h = resize2d(
-                h,
-                (self.scale * h.shape[-3], self.scale * h.shape[-2]),
-                "tf1_bilinear",
-                precision=prec,
-            )
-        elif self.upsampler == "subpixel":
+    def setup(self):
+        # attribute names define the param scopes: level1, body53_i, light_i,
+        # (subpixel_conv,) tail53_i, out — identical to the reference-mapped
+        # tree the weight importer and checkpoints use.
+        self.level1 = nn.Conv(self.features, (1, 1), padding="SAME", dtype=self.dtype)
+        self.body53 = [
+            Light53Block(self.features, dtype=self.dtype) for _ in range(self.n_body53)
+        ]
+        self.light = [
+            LightBlock(self.features, dtype=self.dtype) for _ in range(self.n_light)
+        ]
+        if self.upsampler == "subpixel":
             # Alternative head from the reference capability surface
             # (advanced.py:173-199): conv to r^2*features then pixel-shuffle.
             # ICNR init (checkerboard-free subpixel conv, PAPERS.md
             # arXiv:1707.02937): at init this equals nearest-resize + conv.
             from image_enhance_keras_tpu.ops.pixel_shuffle import icnr_init
 
-            h = nn.Conv(
+            self.subpixel_conv = nn.Conv(
                 self.features * self.scale * self.scale,
                 (3, 3),
                 padding="SAME",
                 dtype=self.dtype,
                 kernel_init=icnr_init(scale=self.scale, order="dcr"),
-                name="subpixel_conv",
-            )(h)
-            h = depth_to_space(h, self.scale, order="dcr")
-        else:
+            )
+        elif self.upsampler != "tf1_bilinear":
             raise ValueError(f"unknown upsampler {self.upsampler!r}")
-        for i in range(self.n_tail53):
-            h = Light53Block(self.features, dtype=self.dtype, name=f"tail53_{i}")(h)
-        out = nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype, name="out")(h)
+        self.tail53 = [
+            Light53Block(self.features, dtype=self.dtype) for _ in range(self.n_tail53)
+        ]
+        self.out = nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype)
+
+    def body(self, x):
+        """Pre-upsample tower at LR resolution: level1 + 16x light53 + 6x light."""
+        x = x.astype(self.dtype or x.dtype)
+        h = nn.relu(self.level1(x))
+        for blk in self.body53:
+            h = blk(h)
+        for blk in self.light:
+            h = blk(h)
+        return h
+
+    def tail(self, h):
+        """x4 upsample + post-upsample blocks + out conv.
+
+        Spatially local with a 7-px HR receptive-field radius past the
+        upsample (2 light53 blocks of radius 3 + the 3x3 out conv), so the
+        engine can call it on LR stripes with a 2-px LR halo and reproduce
+        the whole-frame result exactly (engine._split_fn).
+        """
+        h = h.astype(self.dtype or h.dtype)
+        if self.upsampler == "tf1_bilinear":
+            from image_enhance_keras_tpu.ops.resize import upsample_phase_tf1
+
+            h = upsample_phase_tf1(h, self.scale)
+        else:
+            h = depth_to_space(self.subpixel_conv(h), self.scale, order="dcr")
+        for blk in self.tail53:
+            h = blk(h)
+        out = self.out(h)
         return nn.relu(out).astype(jnp.float32)
+
+    def __call__(self, x):
+        return self.tail(self.body(x))

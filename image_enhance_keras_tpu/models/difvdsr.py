@@ -25,6 +25,9 @@ class Difvdsr(nn.Module):
     features: int = 192
     n_blocks: int = 32
     dtype: Any = None
+    # the reference freezes the entry conv (models.py:1305 trainable=False);
+    # the trainer masks these top-level param collections out of the optimizer
+    frozen_params: tuple = ("level1",)
 
     @nn.compact
     def __call__(self, x):

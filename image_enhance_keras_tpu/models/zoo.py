@@ -31,6 +31,10 @@ class ModelSpec:
     pre_upscaled_input: bool  # difvdsr operates on an already-upscaled image
     description: str
     default_weights: str  # checkpoint stem (reference weight dirs, section 2.10)
+    # AE-style models whose eval path coerces images to /4-divisible sizes
+    # and runs the divisible-shape driver (reference models.py:105,159-163);
+    # False for every shipped reference model (it's capability surface).
+    requires_divisible_shape: bool = False
 
 
 def _make_didbl(dtype: Any = None, **kw) -> nn.Module:

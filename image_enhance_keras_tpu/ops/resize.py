@@ -26,6 +26,7 @@ __all__ = [
     "resize_bilinear_tf1",
     "resize_bicubic_pil",
     "upscale_bilinear_x4",
+    "upsample_phase_tf1",
     "resize_weight_matrix",
 ]
 
@@ -184,6 +185,35 @@ def resize2d(
     y = jnp.einsum("oh,...hwc->...owc", wh, x, precision=precision)
     y = jnp.einsum("pw,...owc->...opc", ww, y, precision=precision)
     return y
+
+
+def upsample_phase_tf1(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Integer-factor TF1 bilinear upsample as phase interleaving.
+
+    TF1 ``resize_bilinear`` (align_corners=False) at integer factor f has a
+    closed form per axis: ``out[f*k + r] = (1-r/f)*in[k] + (r/f)*in[k+1]``
+    with the last row clamped (reference models.py:1392-1399 semantics).
+    Implemented as f weighted sums interleaved by reshape — pure elementwise
+    VPU work that XLA fuses into the surrounding convs, replacing the dense
+    (out, in) resize matmul whose rows are 99.6% zeros at f=4.
+
+    ``x`` is (..., H, W, C); returns (..., f*H, f*W, C) in ``x``'s dtype.
+    """
+    f = int(factor)
+    if f == 1:
+        return x
+
+    def axis_up(a: jnp.ndarray, axis: int) -> jnp.ndarray:
+        a = jnp.moveaxis(a, axis, -1)
+        nxt = jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)  # edge clamp
+        phases = [
+            a * jnp.asarray(1.0 - r / f, a.dtype) + nxt * jnp.asarray(r / f, a.dtype)
+            for r in range(f)
+        ]
+        up = jnp.stack(phases, axis=-1).reshape(a.shape[:-1] + (a.shape[-1] * f,))
+        return jnp.moveaxis(up, -1, axis)
+
+    return axis_up(axis_up(x, -3), -2)
 
 
 def resize_bilinear_tf1(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:

@@ -60,11 +60,25 @@ def shard_eval_step(eval_fn: Callable, mesh: Mesh) -> Callable:
 
 
 class ShardedResolver(SuperResolver):
-    """Tiled inference with the tile batch sharded across the mesh.
+    """Inference with every mode sharded across the mesh.
 
-    The reference processes tiles batch-1 on one GPU (models.py:342); here a
-    whole image's tile batch spreads over the slice, so directory inference
-    scales with chip count while keeping the exact stitch semantics.
+    The reference processes tiles batch-1 on one GPU (models.py:342); here
+    each mode distributes its natural batch axis over the slice:
+
+      * patch — the tile batch is sharded across chips (stitch gathers the
+        shards back, an all_gather over ICI);
+      * fast / frame / split — a single frame has no batch axis, so the
+        SPATIAL height axis is sharded and XLA's SPMD partitioner inserts
+        the per-conv halo exchanges (collective-permutes of 1-2 boundary
+        rows over ICI — no redundant compute, unlike halo'd tile overlap);
+      * video — frames shard across chips;
+      * average — the dense patch batch shards across chips.
+
+    Batch-sharded modes (patch/video/average) are bit-identical to the
+    single-device program.  Spatially-sharded modes (fast/frame/split) are
+    identical up to f32 summation order under SPMD partitioning — observed
+    at most a +-1 uint8 level on isolated pixels that land exactly on the
+    .5 rounding boundary (tests/test_parallel.py).
     """
 
     def __init__(self, *args, mesh: Mesh | None = None, n_devices: int | None = None, **kw):
@@ -121,3 +135,170 @@ class ShardedResolver(SuperResolver):
         fn = jax.jit(run, in_shardings=(repl, repl), out_shardings=repl)
         self._jitted[plan] = fn
         return fn
+
+    # -- whole-frame modes: shard the spatial height axis ------------------
+    def _spatial(self):
+        return NamedSharding(self.mesh, P(None, _axis(self.mesh), None, None))
+
+    def _repl(self):
+        return NamedSharding(self.mesh, P())
+
+    def _fast_fn(self, hw):
+        key = ("fast", tuple(hw))
+        fn = self._jitted.get(key)
+        if fn is None:
+            forward = self._forward_fn()
+            spatial = self._spatial()
+
+            def run(params, img_u8):
+                x = img_u8.astype(jnp.float32)[None] / 255.0
+                x = jax.lax.with_sharding_constraint(x, spatial)
+                y = forward(params, x)[0] * 255.0
+                return jnp.clip(jnp.round(y), 0.0, 255.0).astype(jnp.uint8)
+
+            fn = jax.jit(run, in_shardings=(self._repl(), self._repl()),
+                         out_shardings=self._repl())
+            self._jitted[key] = fn
+        return fn
+
+    def _frame_fn(self, hw):
+        key = ("frame", tuple(hw))
+        fn = self._jitted.get(key)
+        if fn is None:
+            forward = self._forward_fn()
+            spatial = self._spatial()
+
+            def run(p, x):
+                x = jax.lax.with_sharding_constraint(x, spatial)
+                return forward(p, x)
+
+            fn = jax.jit(run, in_shardings=(self._repl(), self._repl()),
+                         out_shardings=self._repl())
+            self._jitted[key] = fn
+        return fn
+
+    def _split_fn(self, hw):
+        """split mode sharded: body H-sharded; each tail stripe (short in H)
+        is sharded along WIDTH so all chips stay busy per stripe."""
+        key = ("split", tuple(hw))
+        fn = self._jitted.get(key)
+        if fn is not None:
+            return fn
+        if getattr(self, "forward_mode", "xla") != "xla":
+            raise ValueError("mode='split' supports the XLA forward only")
+        module = self.module
+        mesh = self.mesh
+        axis = _axis(mesh)
+        h_total = int(hw[0])
+        t = max(1, self.split_tile)
+        halo = 3
+        scale = module.scale
+        spatial = self._spatial()
+        width_sh = NamedSharding(mesh, P(None, None, axis, None))
+
+        def run(params, img_u8):
+            x = img_u8.astype(jnp.float32)[None] / 255.0
+            x = jax.lax.with_sharding_constraint(x, spatial)
+            feats = module.apply({"params": params}, x, method="body")
+            outs = []
+            for k in range(0, h_total, t):
+                tt = min(t, h_total - k)
+                s0 = max(k - halo, 0)
+                e0 = min(k + tt + halo, h_total)
+                sl = jax.lax.with_sharding_constraint(feats[:, s0:e0], width_sh)
+                y = module.apply({"params": params}, sl, method="tail")
+                outs.append(y[:, (k - s0) * scale : (k - s0 + tt) * scale])
+            out = jnp.concatenate(outs, axis=1)[0] * 255.0
+            return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+
+        fn = jax.jit(run, in_shardings=(self._repl(), self._repl()),
+                     out_shardings=self._repl())
+        self._jitted[key] = fn
+        return fn
+
+    # -- batched modes: shard the batch axis --------------------------------
+    def upscale_video(self, frames, frame_chunk: int = 1):
+        """Frames shard across chips; chunking is per device."""
+        import numpy as np
+
+        frames = np.asarray(frames)
+        t, h, w = frames.shape[:3]
+        nd = self.n_devices
+        chunk = max(1, frame_chunk) * nd
+        key = ("video", t, h, w, chunk)
+        fn = self._jitted.get(key)
+        if fn is None:
+            forward = self._forward_fn()
+            mesh, axis = self.mesh, _axis(self.mesh)
+
+            def run(params, vid_u8):
+                def one(chunk_frames):
+                    chunk_frames = jax.lax.with_sharding_constraint(
+                        chunk_frames, NamedSharding(mesh, P(axis))
+                    )
+                    x = chunk_frames.astype(jnp.float32) / 255.0
+                    y = forward(params, x)
+                    return jnp.clip(jnp.round(y * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+                n_pad = (t + chunk - 1) // chunk * chunk
+                v = vid_u8
+                if n_pad != t:
+                    v = jnp.concatenate(
+                        [v, jnp.zeros((n_pad - t,) + v.shape[1:], v.dtype)]
+                    )
+                out = jax.lax.map(one, v.reshape(n_pad // chunk, chunk, *v.shape[1:]))
+                return out.reshape(n_pad, *out.shape[2:])[:t]
+
+            fn = jax.jit(run, in_shardings=(self._repl(), self._repl()),
+                         out_shardings=self._repl())
+            self._jitted[key] = fn
+        import numpy as _np
+
+        return _np.asarray(fn(self.params, jnp.asarray(frames)))
+
+    def upscale_patch_average(self, img, patch: int = 32, step: int = 16):
+        """Dense patch batch sharded across chips (same math as the base)."""
+        import numpy as np
+
+        from image_enhance_keras_tpu.ops.resize import resize_pil_uint8
+        from image_enhance_keras_tpu.tiling.dense import (
+            extract_dense_patches,
+            reconstruct_average,
+        )
+
+        img = np.asarray(img)
+        h, w = img.shape[:2]
+        s = step
+        h2 = patch + -(-(max(h - patch, 0)) // s) * s
+        w2 = patch + -(-(max(w - patch, 0)) // s) * s
+        key = ("avg", h2, w2, patch, s)
+        fn = self._jitted.get(key)
+        if fn is None:
+            forward = self._forward_fn()
+            scale = self.spec.net_scale
+            mesh, axis = self.mesh, _axis(self.mesh)
+            nd = self.n_devices
+            n = ((h2 - patch) // s + 1) * ((w2 - patch) // s + 1)
+            n_pad = (n + nd - 1) // nd * nd
+
+            def run(params, img_u8):
+                x = img_u8.astype(jnp.float32)
+                padded = jnp.pad(x, ((0, h2 - h), (0, w2 - w), (0, 0)))
+                tiles = extract_dense_patches(padded, patch, s)
+                if n_pad != n:
+                    tiles = jnp.concatenate(
+                        [tiles, jnp.zeros((n_pad - n,) + tiles.shape[1:], tiles.dtype)]
+                    )
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, NamedSharding(mesh, P(axis))
+                )
+                lr = resize_pil_uint8(tiles, (patch // scale, patch // scale))
+                y = (forward(params, lr / 255.0) * 255.0)[:n]
+                recon = reconstruct_average(y, (h2, w2), step=s, pad=4)
+                out = recon[:h, :w]
+                return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+
+            fn = jax.jit(run, in_shardings=(self._repl(), self._repl()),
+                         out_shardings=self._repl())
+            self._jitted[key] = fn
+        return np.asarray(fn(self.params, jnp.asarray(img)))

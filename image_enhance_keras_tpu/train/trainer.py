@@ -111,6 +111,36 @@ def make_eval_step(module, scale: int, blur_sigma: float, pre_upscale: bool = Fa
     return step
 
 
+def make_image_metric_step(module, scale: int, pre_upscale: bool = False) -> Callable:
+    """Full-image eval under the *scoring* protocol (scorpath.py): PIL-bicubic
+    degrade (no blur — models.py:1545-1560), whole-frame forward, 10-px crop,
+    Y-channel PSNR/SSIM.  This is the metric the project is gated on, so the
+    trainer can select best checkpoints by it (monitor='val_ssim_y') instead
+    of patch-level val_psnr on the (different) training degradation.
+    """
+    from image_enhance_keras_tpu.ops.resize import resize_pil_uint8
+    from image_enhance_keras_tpu.ops.color import rgb2ycbcr
+    from image_enhance_keras_tpu.ops.metrics import psnr_nitre, ssim
+
+    def step(params, gt_u8):
+        h, w = gt_u8.shape[0], gt_u8.shape[1]
+        lr = resize_pil_uint8(gt_u8, (h // scale, w // scale))
+        if pre_upscale:
+            lr = resize_pil_uint8(lr, (h, w))
+        sr = module.apply({"params": params}, lr[None] / 255.0)[0]
+        sr = jnp.clip(jnp.round(sr * 255.0), 0.0, 255.0)
+        gt = gt_u8.astype(jnp.float32)[10:-10, 10:-10]
+        sr = sr[10:-10, 10:-10]
+        gt_y = rgb2ycbcr(gt)[..., 0]
+        sr_y = rgb2ycbcr(sr)[..., 0]
+        return {
+            "val_psnr_y": psnr_nitre(sr_y, gt_y, 0),
+            "val_ssim_y": ssim(sr_y, gt_y, data_range=255.0),
+        }
+
+    return step
+
+
 class Trainer:
     """Single-chip or data-parallel trainer for any zoo model."""
 
@@ -159,6 +189,22 @@ class Trainer:
         tx = optax.adam(lr, b1=cfg.beta1)
         if cfg.clip_norm:
             tx = optax.chain(optax.clip_by_global_norm(cfg.clip_norm), tx)
+        frozen = tuple(getattr(self.module, "frozen_params", ()) or ())
+        if frozen:
+            # reference trainable=False on the entry conv (models.py:1305):
+            # route frozen top-level collections to set_to_zero so their
+            # update is exactly 0 (optax.masked would pass raw grads through)
+            def labels(params):
+                return {
+                    k: jax.tree_util.tree_map(
+                        lambda _: "freeze" if k in frozen else "train", v
+                    )
+                    for k, v in params.items()
+                }
+
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()}, labels
+            )
         self.tx = tx
         params = init_params(
             self.module, jax.random.PRNGKey(cfg.seed), input_hw=(cfg.lr_patch, cfg.lr_patch)
@@ -184,8 +230,45 @@ class Trainer:
             self.train_step = jax.jit(step)
             self.eval_step = jax.jit(eval_step)
 
-        self.ckpt = CheckpointManager(cfg.checkpoint_dir, monitor="val_psnr", mode="max")
+        # full-image metric gate (the scorpath protocol the project is
+        # judged on) — evaluated per epoch on the full val frames, cropped
+        # to a multiple of the scale so LR*scale == GT
+        monitor = cfg.monitor
+        self._image_metric_step = None
+        self._image_metric_jits: dict[tuple[int, int], Any] = {}
+        self.metric_images: list[np.ndarray] = []
+        if monitor in ("val_ssim_y", "val_psnr_y") or cfg.image_eval:
+            self._image_metric_step = make_image_metric_step(
+                self.module, 4, pre_up
+            )
+            for im in val_images:
+                h = (im.shape[0] // 4) * 4
+                w = (im.shape[1] // 4) * 4
+                if h >= 44 and w >= 44:  # crop-10 must leave pixels
+                    self.metric_images.append(np.asarray(im[:h, :w]))
+            if not self.metric_images and monitor in ("val_ssim_y", "val_psnr_y"):
+                log.warning(
+                    "monitor=%s but no val image is >=44px after /4 crop; "
+                    "falling back to val_psnr", monitor,
+                )
+                monitor = "val_psnr"
+        self.ckpt = CheckpointManager(cfg.checkpoint_dir, monitor=monitor, mode="max")
         self.history = HistoryLogger(f"{cfg.checkpoint_dir}/history.json")
+
+    def _image_metrics(self) -> dict[str, float]:
+        if self._image_metric_step is None or not self.metric_images:
+            return {}
+        vals = []
+        for im in self.metric_images:
+            key = im.shape[:2]
+            fn = self._image_metric_jits.get(key)
+            if fn is None:
+                fn = jax.jit(self._image_metric_step)
+                self._image_metric_jits[key] = fn
+            vals.append(fn(self.state.params, jnp.asarray(im)))
+        return {
+            k: float(np.mean([float(v[k]) for v in vals])) for k in vals[0]
+        }
 
     # ------------------------------------------------------------------
     def resume(self) -> bool:
@@ -221,6 +304,7 @@ class Trainer:
             val = {
                 k: float(np.mean([float(v[k]) for v in vals])) for k in vals[0]
             }
+            val.update(self._image_metrics())
             epoch_metrics = {
                 "loss": float(np.mean([float(x) for x in losses])),
                 "psnr": float(np.mean([float(x) for x in psnrs])),

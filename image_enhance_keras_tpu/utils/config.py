@@ -38,6 +38,11 @@ class Config:
     lr_schedule: str = "constant"  # "constant" | "cosine" (decay over the run)
     checkpoint_dir: str = "weights_Double"
     seed: int = 0
+    # best-checkpoint selection metric: patch-level "val_psnr"/"val_loss" or
+    # the full-image scoring-protocol gates "val_ssim_y"/"val_psnr_y"
+    # (learn.py defaults to val_ssim_y — the metric the project is judged on)
+    monitor: str = "val_psnr"
+    image_eval: bool = False  # compute full-image metrics even if not monitored
 
     # eval (scorpath.py protocol)
     eval_crop_border: int = 10

@@ -71,3 +71,38 @@ def test_shape_mismatch_raises_by_default():
         score_pair(gt, pred, name="x")
     s = score_pair(gt, pred, name="x", allow_shape_mismatch=True)
     assert np.isfinite(s.psnr_y)
+
+
+def test_divisible_eval_driver(tmp_path):
+    """The distinct _evaluate_denoise driver (reference models.py:1625-1721):
+    non-conformant GTs are bicubic-RESIZED to ((dim//scale)//4)*4*scale (not
+    cropped), the forward is whole-frame, and outputs are saved as
+    <model>_<stem>_generated.png."""
+    from image_enhance_keras_tpu.eval import (
+        evaluate_resolver_on_dir_divisible,
+        evaluate_model,
+    )
+    from tests.test_engine_e2e import _tiny_resolver
+
+    rng = np.random.default_rng(9)
+    gt_dir = tmp_path / "gt"
+    gt_dir.mkdir()
+    imwrite(str(gt_dir / "odd.png"), rng.integers(0, 256, (70, 90, 3), dtype=np.uint8))
+
+    r = _tiny_resolver()
+    calls = []
+    orig = r.upscale_frame
+    r.upscale_frame = lambda im: calls.append(im.shape) or orig(im)
+    scores, means = evaluate_resolver_on_dir_divisible(
+        r, str(gt_dir), scale=4, save_dir=str(tmp_path / "pred"),
+        model_name="tiny", verbose=False,
+    )
+    # 70x90 -> coerced to ((70//4)//4)*16 x ((90//4)//4)*16 = 64x80 -> LR 16x20
+    assert calls == [(16, 20, 3)]  # whole-frame forward, coerced size
+    assert len(scores) == 1 and np.isfinite(means["psnr_y"])
+    assert os.path.exists(str(tmp_path / "pred" / "tiny_odd_generated.png"))
+
+    # dispatch: flag off -> standard driver (tiled upscale, no upscale_frame)
+    calls.clear()
+    evaluate_model(r, str(gt_dir), verbose=False)
+    assert calls == []

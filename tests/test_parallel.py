@@ -75,3 +75,94 @@ def test_sharded_resolver_matches_single_device():
     out_sharded = sharded.upscale(img)
     assert out_single.shape == out_sharded.shape == (320, 400, 3)
     np.testing.assert_array_equal(out_single, out_sharded)
+
+
+def _build_pair(tile_chunk=8, **extra):
+    from image_enhance_keras_tpu.engine import SuperResolver
+    from image_enhance_keras_tpu.parallel import ShardedResolver
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+    from image_enhance_keras_tpu.models import init_params
+
+    module = DifvdsrDouble(features=8, n_body53=1, n_light=1, n_tail53=1)
+    spec = ModelSpec("tiny", lambda **k: module, 4, False, "tiny", "w")
+    params = init_params(module, jax.random.PRNGKey(0), input_hw=(16, 16))
+
+    def build(cls, **kw):
+        r = cls.__new__(cls)
+        r.model_name = "tiny"
+        r.module = module
+        r.spec = spec
+        r.patch, r.step, r.crop = 48, 32, 8
+        r.scalemulti = 4
+        r.tile_chunk = tile_chunk
+        r.mode = "patch"
+        r.fast_max_pixels = 1 << 20
+        r.split_tile = 16
+        r.forward_mode = "xla"
+        r._dtype = None
+        r._jitted = {}
+        r._jitted_fast = {}
+        r.params = params
+        for k, v in {**extra, **kw}.items():
+            setattr(r, k, v)
+        return r
+
+    from image_enhance_keras_tpu.engine import SuperResolver as SR
+
+    mesh = make_mesh(8)
+    return build(SR), build(
+        __import__(
+            "image_enhance_keras_tpu.parallel", fromlist=["ShardedResolver"]
+        ).ShardedResolver,
+        mesh=mesh,
+        n_devices=8,
+    )
+
+
+def test_sharded_fast_mode_matches_single_device():
+    """--devices N --mode fast actually distributes (spatial H sharding with
+    SPMD halo exchange).  Spatially-sharded f32 can differ by 1 ulp in
+    summation order, so allow a +-1 uint8 level (observed: 1 pixel in 245k
+    on the full model; tiny models are usually bit-equal)."""
+    single, sharded = _build_pair(mode="fast")
+    img = np.random.default_rng(1).integers(0, 256, (64, 72, 3), dtype=np.uint8)
+    a = sharded.upscale(img).astype(np.int32)
+    b = single.upscale(img).astype(np.int32)
+    assert np.abs(a - b).max() <= 1
+    # confirm the fast path was used (not silently the tiled path)
+    assert any(k[0] == "fast" for k in sharded._jitted if isinstance(k, tuple))
+
+
+def test_sharded_split_mode_matches_single_device():
+    single, sharded = _build_pair(mode="split")
+    img = np.random.default_rng(2).integers(0, 256, (48, 40, 3), dtype=np.uint8)
+    a = sharded.upscale(img).astype(np.int32)
+    b = single.upscale(img).astype(np.int32)
+    assert np.abs(a - b).max() <= 1
+    assert any(k[0] == "split" for k in sharded._jitted if isinstance(k, tuple))
+
+
+def test_sharded_video_matches_single_device():
+    single, sharded = _build_pair()
+    vid = np.random.default_rng(3).integers(0, 256, (5, 24, 24, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        sharded.upscale_video(vid), single.upscale_video(vid)
+    )
+
+
+def test_sharded_frame_matches_single_device():
+    single, sharded = _build_pair()
+    frame = np.random.default_rng(4).integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    a = sharded.upscale_frame(frame).astype(np.int32)
+    b = single.upscale_frame(frame).astype(np.int32)
+    assert np.abs(a - b).max() <= 1
+
+
+def test_sharded_average_matches_single_device():
+    single, sharded = _build_pair()
+    img = np.random.default_rng(5).integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        sharded.upscale_patch_average(img, patch=16, step=8),
+        single.upscale_patch_average(img, patch=16, step=8),
+    )

@@ -1,0 +1,108 @@
+"""Split-mode (whole-frame body + halo-striped tail) and phase-upsample tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_enhance_keras_tpu.ops.resize import (
+    resize2d,
+    upsample_phase_tf1,
+    resize_weight_matrix,
+)
+from tests.test_engine_e2e import _tiny_resolver
+
+
+@pytest.mark.parametrize("factor", [2, 4])
+@pytest.mark.parametrize("hw", [(5, 7), (8, 8)])
+def test_phase_upsample_matches_matmul_resize(factor, hw):
+    """The phase-interleave closed form equals the dense TF1 resize matmul
+    (same align_corners=False semantics, reference models.py:1392-1399)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, *hw, 3)).astype(np.float32))
+    got = upsample_phase_tf1(x, factor)
+    want = resize2d(x, (hw[0] * factor, hw[1] * factor), "tf1_bilinear")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_phase_upsample_weights_exact():
+    """Spot-check the TF1 weight table: out[4k+r] = (1-r/4) in[k] + r/4 in[k+1]."""
+    x = jnp.asarray(np.arange(4, dtype=np.float32).reshape(1, 4, 1, 1))
+    up = np.asarray(upsample_phase_tf1(x, 4))[0, :, 0, 0]
+    k = np.arange(16) // 4
+    r = np.arange(16) % 4
+    want = (1 - r / 4) * k + (r / 4) * np.minimum(k + 1, 3)
+    np.testing.assert_allclose(up, want, atol=1e-6)
+
+
+@pytest.mark.parametrize("hw", [(40, 56), (64, 48), (13, 24), (7, 16)])
+def test_split_equals_fast_bitexact(hw):
+    """mode='split' must reproduce the whole-frame forward bit-for-bit: the
+    stripe halo covers the tail receptive field and edge clamping/zero
+    padding coincide with the whole-frame program at image borders."""
+    r = _tiny_resolver()
+    r.split_tile = 16
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (*hw, 3), dtype=np.uint8)
+    fast = np.asarray(r._fast_fn(hw)(r.params, jnp.asarray(img)))
+    split = np.asarray(r._split_fn(hw)(r.params, jnp.asarray(img)))
+    np.testing.assert_array_equal(split, fast)
+
+
+def test_split_mode_dispatch():
+    r = _tiny_resolver()
+    r.mode = "split"
+    r.split_tile = 8
+    img = np.random.default_rng(4).integers(0, 256, (20, 20, 3), dtype=np.uint8)
+    out = r.upscale(img)
+    assert out.shape == (80, 80, 3) and out.dtype == np.uint8
+
+
+def test_split_equals_fast_subpixel_head():
+    """The depth_to_space alternative head is also halo-exact."""
+    from tests.test_engine_e2e import _tiny_resolver as mk
+
+    r = mk()
+    import jax as _jax
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+    from image_enhance_keras_tpu.models import init_params
+
+    module = DifvdsrDouble(
+        features=16, n_body53=2, n_light=1, n_tail53=1, upsampler="subpixel"
+    )
+    r.module = module
+    r.params = init_params(module, _jax.random.PRNGKey(1), input_hw=(16, 16))
+    hw = (26, 20)
+    img = np.random.default_rng(5).integers(0, 256, (*hw, 3), dtype=np.uint8)
+    r.split_tile = 8
+    fast = np.asarray(r._fast_fn(hw)(r.params, jnp.asarray(img)))
+    split = np.asarray(r._split_fn(hw)(r.params, jnp.asarray(img)))
+    np.testing.assert_array_equal(split, fast)
+
+
+def test_pipeline_chunking_no_waste():
+    """Tiled pipeline output is identical for any tile_chunk (the chunking
+    must never change results, only the schedule) including non-divisor
+    chunks that previously padded the batch with dummy tiles."""
+    outs = []
+    img = np.random.default_rng(6).integers(0, 256, (70, 90, 3), dtype=np.uint8)
+    for chunk in (1, 3, 5, 16, 64):
+        r = _tiny_resolver()
+        r.tile_chunk = chunk
+        outs.append(r.upscale(img))
+    for o in outs[1:]:
+        np.testing.assert_array_equal(o, outs[0])
+
+
+def test_param_tree_unchanged_by_setup_refactor():
+    """The setup()-style didbl module must keep the exact scope names the
+    checkpoints/importer rely on (level1, body53_i, light_i, tail53_i, out)."""
+    r = _tiny_resolver()
+    names = set(r.params.keys())
+    assert names == {
+        "level1", "body53_0", "body53_1", "light_0", "tail53_0", "out",
+    }
+    assert set(r.params["body53_0"].keys()) == {
+        "conv_a1", "conv_a2", "conv_b1", "conv_b2",
+    }

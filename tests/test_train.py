@@ -7,6 +7,7 @@ import os
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from image_enhance_keras_tpu.utils.config import Config
@@ -161,3 +162,51 @@ def test_prepare_data_and_generator(tmp_path):
     assert bx.shape == (2, 32, 32, 3)  # not true_upscale: LR re-upsampled to HR size
     assert by.shape == (2, 32, 32, 3)
     assert bx.dtype == np.float32 and bx.max() <= 1.0
+
+
+def test_frozen_params_not_updated(tmp_path):
+    """difvdsr's entry conv is frozen (reference models.py:1305
+    trainable=False): the optimizer must leave it bit-identical while the
+    rest of the net trains."""
+    from image_enhance_keras_tpu.train import trainer as trainer_mod
+    from image_enhance_keras_tpu.models.difvdsr import Difvdsr
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+
+    cfg = _tiny_cfg(tmp_path, epochs=1)
+    tiny = Difvdsr(features=8, n_blocks=1)
+    orig = trainer_mod.get_model
+    trainer_mod.get_model = lambda name, dtype=None: (
+        tiny,
+        ModelSpec(name, lambda **k: tiny, 1, True, "tiny", "w"),
+    )
+    try:
+        t = trainer_mod.Trainer(cfg)
+    finally:
+        trainer_mod.get_model = orig
+    level1_before = jax.tree_util.tree_map(np.asarray, t.state.params["level1"])
+    diff_before = np.asarray(
+        jax.tree_util.tree_leaves(t.state.params["diff_0"])[0]
+    ).copy()
+    t.fit(epochs=1, steps_per_epoch=4)
+    level1_after = t.state.params["level1"]
+    for a, b in zip(
+        jax.tree_util.tree_leaves(level1_before),
+        jax.tree_util.tree_leaves(level1_after),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    diff_after = np.asarray(jax.tree_util.tree_leaves(t.state.params["diff_0"])[0])
+    assert not np.array_equal(diff_before, diff_after)  # rest of net trained
+
+
+def test_ssim_y_monitor_gates_best_checkpoint(tmp_path):
+    """monitor='val_ssim_y' computes the full-image scoring-protocol metric
+    per epoch and drives best-checkpoint selection (learn.py default)."""
+    t = _tiny_trainer(tmp_path, monitor="val_ssim_y", epochs=1)
+    assert t.ckpt.monitor == "val_ssim_y"
+    assert t.metric_images  # synthetic val frames qualify
+    hist = t.fit(epochs=1, steps_per_epoch=2)
+    ssim_y = hist["val_ssim_y"][0]
+    assert -1.0 <= ssim_y <= 1.0
+    assert "val_psnr_y" in hist
+    idx = json.load(open(os.path.join(t.config.checkpoint_dir, "index.json")))
+    assert idx["best_metric"] == pytest.approx(ssim_y)

@@ -31,8 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="patch: reference-exact overlapped tiling; fast: whole-frame "
                         "forward; split: whole-frame body + halo-striped tail "
                         "(bit-identical to fast, bounded memory — the serving default)")
-    p.add_argument("--forward", default="xla", choices=["xla", "pallas"],
-                   help="conv tower execution path (pallas = fused VMEM kernels)")
+    p.add_argument("--forward", default="xla",
+                   choices=["xla", "pallas", "pallas_chain", "pallas_int8"],
+                   help="conv tower execution path (pallas = fused VMEM "
+                        "kernels; pallas_int8 = quantized 2x-rate MXU serving)")
     p.add_argument("--save_intermediate", default=False, action="store_true")
     p.add_argument("--suffix", default="scaled", help="suffix of output images")
     p.add_argument("--patch_size", default=96, type=int, help="tile size (reference: 96)")
@@ -44,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile_chunk", default=16, type=int)
     p.add_argument("--devices", default=1, type=int,
                    help="shard tiles across this many devices (data-parallel inference)")
+    p.add_argument("--pipeline", action="store_true",
+                   help="overlap native decode -> device -> encode "
+                        "(runtime.serving); prints wall-clock Mpix/s incl. IO")
     return p
 
 
@@ -81,6 +86,15 @@ def main(argv=None) -> int:
             mode=args.mode,
             forward=args.forward,
         )
+    if args.pipeline:
+        from image_enhance_keras_tpu.runtime.serving import serve_directory
+
+        stats = serve_directory(
+            resolver, args.imgpath, suffix=args.suffix, scale_label=args.scale
+        )
+        log.info("wrote %d images (%.2f out-Mpix/s incl. IO)",
+                 stats.images, stats.out_mpix_s)
+        return 0
     outs = resolver.upscale_dir(
         args.imgpath,
         suffix=args.suffix,

@@ -158,6 +158,7 @@ class SuperResolver:
                     picked.append(r_np.astype(t_np.dtype))
                 self.params = _jax.tree_util.tree_unflatten(treedef, picked)
         self.params = jax.device_put(self.params)
+        self._qparams = None  # re-quantize int8 weights on next use
 
     # ------------------------------------------------------------------
     # jitted tiled pipeline (one compile per padded-size bucket)
@@ -204,6 +205,17 @@ class SuperResolver:
         """params, (N,h,w,3)[0,1] -> (N,sh,sw,3): XLA flax apply or the
         Pallas-fused didbl forward (same param tree, same math)."""
         mode = getattr(self, "forward_mode", "xla")
+        if mode == "pallas_int8":
+            from image_enhance_keras_tpu.models.didbl_pallas import apply_didbl_int8
+
+            m = self.module
+            if getattr(m, "upsampler", "tf1_bilinear") != "tf1_bilinear":
+                raise ValueError("pallas_int8 supports the tf1_bilinear head")
+            return lambda qp, b: apply_didbl_int8(
+                qp, b,
+                n_body53=m.n_body53, n_light=m.n_light, n_tail53=m.n_tail53,
+                scale=m.scale,
+            )
         if mode in ("pallas", "pallas_chain"):
             from image_enhance_keras_tpu.models.didbl_pallas import apply_didbl_pallas
 
@@ -220,6 +232,27 @@ class SuperResolver:
             )
         module = self.module
         return lambda params, b: module.apply({"params": params}, b)
+
+    def _fwd_params(self):
+        """Params tree fed to the forward: raw flax params, or (for the int8
+        serving profile) the one-time per-channel-quantized tree."""
+        if getattr(self, "forward_mode", "xla") != "pallas_int8":
+            return self.params
+        qp = getattr(self, "_qparams", None)
+        if qp is None:
+            from image_enhance_keras_tpu.models.didbl_pallas import (
+                quantize_didbl_params,
+            )
+
+            m = self.module
+            qp = jax.device_put(
+                quantize_didbl_params(
+                    self.params, n_body53=m.n_body53, n_light=m.n_light,
+                    n_tail53=m.n_tail53,
+                )
+            )
+            self._qparams = qp
+        return qp
 
     def plan_for(self, height: int, width: int) -> TilePlan:
         return plan_tiles(
@@ -264,13 +297,13 @@ class SuperResolver:
             img = np.asarray(up).astype(np.uint8)
         if self.mode == "split" and hasattr(self.module, "tail"):
             fn = self._split_fn(img.shape[:2])
-            return np.asarray(fn(self.params, jnp.asarray(img)))
+            return np.asarray(fn(self._fwd_params(), jnp.asarray(img)))
         if self.mode == "fast" and img.shape[0] * img.shape[1] <= self.fast_max_pixels:
             fn = self._fast_fn(img.shape[:2])
-            return np.asarray(fn(self.params, jnp.asarray(img)))
+            return np.asarray(fn(self._fwd_params(), jnp.asarray(img)))
         plan = self.plan_for(img.shape[0], img.shape[1])
         fn = self._pipeline_for(plan)
-        return np.asarray(fn(self.params, jnp.asarray(img)))
+        return np.asarray(fn(self._fwd_params(), jnp.asarray(img)))
 
     def _fast_fn(self, hw):
         fn = self._jitted_fast.get(tuple(hw))
@@ -364,13 +397,13 @@ class SuperResolver:
 
             fn = jax.jit(run)
             self._jitted[key] = fn
-        return np.asarray(fn(self.params, jnp.asarray(img)))
+        return np.asarray(fn(self._fwd_params(), jnp.asarray(img)))
 
     def upscale_frame(self, frame: np.ndarray) -> np.ndarray:
         """Single-frame API without tiling — the ``upVideo`` contract
         (models.py:165-182): ndarray in, x4 ndarray out."""
         x = jnp.asarray(frame).astype(jnp.float32)[None] / 255.0
-        y = self._frame_fn(x.shape[1:3])(self.params, x)
+        y = self._frame_fn(x.shape[1:3])(self._fwd_params(), x)
         return np.asarray(
             jnp.clip(jnp.round(y[0] * 255.0), 0, 255).astype(jnp.uint8)
         )
@@ -404,7 +437,7 @@ class SuperResolver:
 
             fn = jax.jit(run)
             self._jitted[key] = fn
-        return np.asarray(fn(self.params, jnp.asarray(frames)))
+        return np.asarray(fn(self._fwd_params(), jnp.asarray(frames)))
 
     def _frame_fn(self, hw):
         # per-instance cache like _jitted/_jitted_fast (an lru_cache on the

@@ -24,7 +24,7 @@ from image_enhance_keras_tpu.ops.pallas.blocks import (
 )
 from image_enhance_keras_tpu.ops.resize import resize_bilinear_tf1
 
-__all__ = ["apply_didbl_pallas"]
+__all__ = ["apply_didbl_pallas", "quantize_didbl_params", "apply_didbl_int8"]
 
 
 def _conv(x, p, precision=None):
@@ -126,4 +126,87 @@ def apply_didbl_pallas(
     for i in range(n_tail53):
         h = _light53_xla(h, params[f"tail53_{i}"])
     out = _conv(h, params["out"])
+    return jnp.maximum(out, 0.0).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# int8 serving path (ops/pallas/int8_blocks.py)
+# ---------------------------------------------------------------------------
+
+def quantize_didbl_params(
+    params: Any, n_body53: int = 16, n_light: int = 6, n_tail53: int = 2
+) -> Any:
+    """One-time weight quantization: every residual-block conv becomes
+    (int8 kernel, per-out-channel f32 scale, f32 bias); level1/out stay f32
+    (they are <0.1% of FLOPs and touch the raw image/output)."""
+    import numpy as np
+
+    from image_enhance_keras_tpu.ops.pallas.int8_blocks import (
+        quantize_weights_per_channel,
+    )
+
+    def qconv(p):
+        q, s = quantize_weights_per_channel(np.asarray(p["kernel"], np.float32))
+        return {"q": q, "s": s, "bias": jnp.asarray(p["bias"], jnp.float32)}
+
+    out = {"level1": params["level1"], "out": params["out"]}
+    for prefix, n in (("body53", n_body53), ("tail53", n_tail53)):
+        for i in range(n):
+            blk = params[f"{prefix}_{i}"]
+            out[f"{prefix}_{i}"] = {k: qconv(blk[k]) for k in
+                                    ("conv_a1", "conv_a2", "conv_b1", "conv_b2")}
+    for i in range(n_light):
+        blk = params[f"light_{i}"]
+        out[f"light_{i}"] = {k: qconv(blk[k]) for k in ("conv_a", "conv_b")}
+    return out
+
+
+def _light53_i8(x, p, tile, interpret):
+    from image_enhance_keras_tpu.ops.pallas.int8_blocks import light53_int8
+
+    return light53_int8(
+        x,
+        p["conv_a1"]["q"], p["conv_a1"]["s"], p["conv_a1"]["bias"],
+        p["conv_a2"]["q"], p["conv_a2"]["s"], p["conv_a2"]["bias"],
+        p["conv_b1"]["q"], p["conv_b1"]["s"], p["conv_b1"]["bias"],
+        p["conv_b2"]["q"], p["conv_b2"]["s"], p["conv_b2"]["bias"],
+        res_scale=0.1, identity_scale=0.9, tile=tile, interpret=interpret,
+    )
+
+
+def apply_didbl_int8(
+    qparams: Any,
+    x: jnp.ndarray,
+    n_body53: int = 16,
+    n_light: int = 6,
+    n_tail53: int = 2,
+    scale: int = 4,
+    tile: tuple[int, int] = (64, 128),
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """(N, H, W, 3) [0,1] -> (N, 4H, 4W, 3): the didbl graph with every
+    residual block on the int8 MXU path (2x bf16 peak on v5e), including the
+    post-upsample tail via the halo-DMA spatial grid.  Activations stay bf16
+    between blocks; identity paths carry no quantization error.
+    """
+    from image_enhance_keras_tpu.ops.resize import upsample_phase_tf1
+
+    h = x.astype(jnp.bfloat16)
+    h = jnp.maximum(_conv(h, qparams["level1"]), 0.0)
+    for i in range(n_body53):
+        h = _light53_i8(h, qparams[f"body53_{i}"], tile, interpret)
+    from image_enhance_keras_tpu.ops.pallas.int8_blocks import light_int8
+
+    for i in range(n_light):
+        p = qparams[f"light_{i}"]
+        h = light_int8(
+            h,
+            p["conv_a"]["q"], p["conv_a"]["s"], p["conv_a"]["bias"],
+            p["conv_b"]["q"], p["conv_b"]["s"], p["conv_b"]["bias"],
+            res_scale=0.1, tile=tile, interpret=interpret,
+        )
+    h = upsample_phase_tf1(h, scale)
+    for i in range(n_tail53):
+        h = _light53_i8(h, qparams[f"tail53_{i}"], tile, interpret)
+    out = _conv(h, qparams["out"])
     return jnp.maximum(out, 0.0).astype(jnp.float32)

@@ -55,7 +55,7 @@ def main() -> int:
             h = module.apply({"params": params}, x, method="body")
             return jnp.sum(h[0, ::97, ::97, :].astype(jnp.float32))
 
-        return lax.map(one, im2)
+        return jnp.sum(lax.map(one, im2))
 
     @jax.jit
     def run_tail(params, fts, salt):
@@ -65,7 +65,7 @@ def main() -> int:
             y = module.apply({"params": params}, f[None], method="tail")
             return jnp.sum(y[0, ::97, ::97, :])
 
-        return lax.map(one, f2)
+        return jnp.sum(lax.map(one, f2))
 
     px = batch * size * size
     dt = timed(run_body, imgs)

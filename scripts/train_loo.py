@@ -1,0 +1,108 @@
+"""Leave-one-out held-out quality run (VERDICT r1 item 2).
+
+For each Set5 image: train didbl on the OTHER four GTs (+ procedural
+synthetic textures), then score the trained model on the held-out image
+under the scorpath protocol.  Every eval image is therefore unseen by the
+model that scores it — unlike the round-1 demo checkpoints (trained on the
+eval images) and unlike the reference's own headline (training set
+unpublished, models.py:1064-1068 suggest Set5-adjacent tuning).
+
+Writes EVAL_LOO.json with per-fold and aggregate scores.
+Run on the TPU; ~N_STEPS*5 total train steps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SET5 = ["baby", "bird", "butterfly", "head", "woman"]
+
+
+def main() -> int:
+    from image_enhance_keras_tpu.data.io import imread
+    from image_enhance_keras_tpu.data.pipeline import synthetic_images
+    from image_enhance_keras_tpu.train.trainer import Trainer
+    from image_enhance_keras_tpu.utils.config import Config
+    from image_enhance_keras_tpu.engine import SuperResolver
+    from image_enhance_keras_tpu.eval.evaluate import degrade
+    from image_enhance_keras_tpu.eval.scorer import score_pair
+
+    steps = int(os.environ.get("IEK_LOO_STEPS", "20000"))
+    spe = 500
+    epochs = max(1, steps // spe)
+    only = os.environ.get("IEK_LOO_ONLY")  # comma list of fold names
+
+    gts = {n: imread(f"data_set5/{n}_GT.png") for n in SET5}
+    synth = synthetic_images(16, 256)
+
+    results = {"steps_per_fold": steps, "folds": {}}
+    out_path = "EVAL_LOO.json"
+    if os.path.exists(out_path):
+        results = json.load(open(out_path))
+        results["steps_per_fold"] = steps
+
+    for fold in SET5:
+        if only and fold not in only.split(","):
+            continue
+        if fold in results["folds"]:
+            print(f"fold {fold}: already done, skipping", flush=True)
+            continue
+        t0 = time.time()
+        train_imgs = [gts[n] for n in SET5 if n != fold] + list(synth)
+        ckpt_dir = f"/tmp/loo_{fold}"
+        cfg = Config(
+            model="didbl",
+            lr=2e-4,
+            lr_schedule="cosine",
+            batch_size=16,
+            lr_patch=24,
+            augment=True,
+            epochs=epochs,
+            steps_per_epoch=spe,
+            ckpt_every=1000000,  # only the final save matters
+            checkpoint_dir=ckpt_dir,
+            monitor="val_psnr",  # patch-level on TRAIN-side images only
+            seed=0,
+        )
+        # val patches from the training images only — the held-out image
+        # must not influence any training-time decision
+        trainer = Trainer(cfg, train_images=train_imgs, val_images=train_imgs[:2])
+        trainer.fit()
+
+        resolver = SuperResolver(model="didbl", params=trainer.state.params, mode="fast")
+        gt = gts[fold]
+        h, w = (gt.shape[0] // 4) * 4, (gt.shape[1] // 4) * 4
+        gt = gt[:h, :w]
+        sr = resolver.upscale(degrade(gt, 4))
+        s = score_pair(gt, sr, name=fold, crop_border=10)
+        results["folds"][fold] = {
+            "psnr_y": s.psnr_y, "ssim_y": s.ssim_y, "ssim_rgb": s.ssim_rgb,
+            "train_sec": round(time.time() - t0, 1),
+        }
+        print(json.dumps({fold: results["folds"][fold]}), flush=True)
+        # aggregate so partial runs still leave a valid file
+        done = results["folds"]
+        results["mean"] = {
+            k: float(np.mean([v[k] for v in done.values()]))
+            for k in ("psnr_y", "ssim_y", "ssim_rgb")
+        }
+        results["protocol"] = (
+            "leave-one-out over Set5: each image scored by a model trained "
+            "only on the other four GTs + 16 procedural synthetic textures; "
+            "scorpath protocol (crop 10, Y-SSIM data_range 255)"
+        )
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+    print(json.dumps(results.get("mean", {})), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,29 +1,30 @@
 """End-to-end x4 inference benchmark on the flagship model (didbl, full
-128-feature config, ~112 MFLOP per input pixel).
+128-feature config, ~111 MFLOP per input pixel).
 
-Measures sustained on-device throughput of two production modes:
-  * fast  — whole-frame forward (no tiling), the serving path for frames
-            that fit HBM (upVideo contract, reference models.py:165-182);
-  * patch — the reference-exact overlapped-tile pipeline (96/64/8 geometry,
-            models.py:184-416), carrying its inherent 2.85x tile-overlap
-            FLOP redundancy at 512^2.
+Measures sustained on-device throughput of the production modes:
+  * fast   — whole-frame forward, bf16 (serving for frames that fit HBM);
+  * split  — whole-frame body + halo-striped tail, bf16: byte-identical to
+             fast with bounded memory (the scalable serving default);
+  * patch  — overlapped-tile pipelines: perf geometry (192/176/8) and the
+             reference-exact 96/64/8 (models.py:184-416) with its inherent
+             2.85x overlap redundancy at 512^2 (speed-of-light 9.9 Mpix/s);
+  * int8   — fast mode over the Pallas int8 kernels (2x MXU rate;
+             quality delta measured in EVAL_PROFILES.json).
 
 Timing hygiene for the relay-attached chip: iterations are *chained* (each
 batch input depends on the previous checksum, so nothing can be cached or
 elided) and every measurement ends with a host fetch of a scalar checksum.
-Large outputs stay HBM-resident — this environment's relay moves
-device->host data at ~0.1 MB/s, which would otherwise be the only thing
-measured; a real v5e host moves the 12 MB/image over PCIe in ~1 ms.
+Large outputs stay HBM-resident (the relay moves device->host at ~0.1MB/s).
 
 Baseline (BASELINE.json): ">100 megapixels/sec of end-to-end x4 inference on
-a single v5e-8" — an 8-chip slice, i.e. 12.5 Mpix/s/chip in output pixels.
-vs_baseline below = value / 12.5 (per-chip share).  The reference itself
-publishes no throughput numbers (models.py:1612 wall-clock prints only).
+a single v5e-8" = 12.5 out-Mpix/s per chip.  vs_baseline = value / 12.5.
+``value`` is the bf16 production serving mode (max of fast/split).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: IEK_BENCH_DTYPE (bfloat16|float32), IEK_BENCH_SIZE (512),
-IEK_BENCH_BATCH (4), IEK_BENCH_ITERS (3), IEK_BENCH_CHUNK (32).
+Env knobs: IEK_BENCH_SIZE (512), IEK_BENCH_BATCH (4), IEK_BENCH_ITERS (3),
+IEK_BENCH_MODES (fast,split,patch_perf,patch_ref,int8_fast),
+IEK_BENCH_GLOBAL_TIMEOUT (1700s watchdog that emits whatever is measured).
 """
 
 from __future__ import annotations
@@ -31,61 +32,70 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+RESULTS: dict[str, float] = {}
+_DONE = threading.Event()
+
+
+def _emit_and_exit():
+    size = int(os.environ.get("IEK_BENCH_SIZE", "512"))
+    fast = RESULTS.get("fast", 0.0)
+    split = RESULTS.get("split", 0.0)
+    value = max(fast, split)
+    parts = ", ".join(f"{k} {v:.1f}" for k, v in RESULTS.items())
+    note = "" if _DONE.is_set() else " [watchdog: partial results]"
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"didbl x4 end-to-end on-device out-Mpix/s/chip, {size}^2 "
+                    f"uint8 frames, bf16 (int8_fast = Pallas int8 kernels): "
+                    f"{parts or 'nothing measured'}; baseline 100 Mpix/s on "
+                    f"v5e-8 = 12.5/chip{note}"
+                ),
+                "value": round(value, 2),
+                "unit": "output Mpix/s/chip",
+                "vs_baseline": round(value / 12.5, 3),
+            }
+        ),
+        flush=True,
+    )
+    os._exit(0)
+
 
 def main() -> int:
+    watchdog = threading.Timer(
+        float(os.environ.get("IEK_BENCH_GLOBAL_TIMEOUT", "1700")), _emit_and_exit
+    )
+    watchdog.daemon = True
+    watchdog.start()
+
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from image_enhance_keras_tpu.engine import SuperResolver
 
-    dtype_name = os.environ.get("IEK_BENCH_DTYPE", "bfloat16")
     size = int(os.environ.get("IEK_BENCH_SIZE", "512"))
     batch = int(os.environ.get("IEK_BENCH_BATCH", "4"))
     iters = int(os.environ.get("IEK_BENCH_ITERS", "3"))
-    chunk = int(os.environ.get("IEK_BENCH_CHUNK", "32"))
-    geometry = os.environ.get("IEK_BENCH_GEOMETRY", "ref")  # ref | perf
-    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else None
-
-    resolver = SuperResolver(
-        model="didbl", dtype=dtype, tile_chunk=chunk, geometry=geometry
-    )
-    params = resolver.params
-    forward = resolver._forward_fn()
-    plan = resolver.plan_for(size, size)
-    tiled_fn = resolver._pipeline_for(plan)
+    modes = os.environ.get(
+        "IEK_BENCH_MODES", "fast,split,patch_perf,patch_ref,int8_fast"
+    ).split(",")
 
     rng = np.random.default_rng(0)
     imgs = jax.device_put(
         jnp.asarray(rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8))
     )
+    out_px = 16 * size * size * batch
 
-    @jax.jit
-    def run_fast(params, imgs, salt):
-        im2 = imgs + (salt % 2).astype(jnp.uint8)
-
-        def one(im):
-            x = im.astype(jnp.float32)[None] / 255.0
-            y = forward(params, x)[0]
-            out = jnp.clip(jnp.round(y * 255.0), 0.0, 255.0).astype(jnp.uint8)
-            return jnp.sum(out[::97, ::97, :].astype(jnp.int32))
-
-        return jnp.sum(lax.map(one, im2))
-
-    @jax.jit
-    def run_patch(params, imgs, salt):
-        im2 = imgs + (salt % 2).astype(jnp.uint8)
-        outs = lax.map(lambda im: tiled_fn(params, im), im2)
-        return jnp.sum(outs[:, ::97, ::97, :].astype(jnp.int32))
-
-    def timed(fn) -> float:
-        """Chained iterations; returns seconds per batch."""
+    def timed(fn, params) -> float:
         c = fn(params, imgs, jnp.int32(1))
         float(c)  # compile + settle
         t0 = time.perf_counter()
@@ -94,84 +104,52 @@ def main() -> int:
         float(c)  # forces materialisation of the whole chain
         return (time.perf_counter() - t0) / iters
 
-    out_px = 16 * size * size * batch
+    def checksum_map(per_image_fn):
+        def fn(params, ims, salt):
+            im2 = ims + (salt % 2).astype(jnp.uint8)
+            outs = lax.map(lambda im: per_image_fn(params, im), im2)
+            return jnp.sum(outs[:, ::97, ::97, :].astype(jnp.int32))
 
-    # Global watchdog: remote compiles occasionally wedge; never hang the
-    # driver without emitting a JSON line.
-    import os as _os0
-    import threading as _th0
+        return jax.jit(fn)
 
-    def _bail_all():
-        print(
-            json.dumps(
-                {
-                    "metric": "didbl x4 bench: compile did not complete "
-                    "within the watchdog window (relay stall)",
-                    "value": 0.0,
-                    "unit": "output Mpix/s/chip",
-                    "vs_baseline": 0.0,
-                }
-            ),
-            flush=True,
-        )
-        _os0._exit(0)
+    base = SuperResolver(model="didbl", dtype=jnp.bfloat16)
+    shared_params = base.params
 
-    global_watchdog = _th0.Timer(
-        float(os.environ.get("IEK_BENCH_GLOBAL_TIMEOUT", "1800")), _bail_all
-    )
-    global_watchdog.daemon = True
-    global_watchdog.start()
+    for mode in modes:
+        try:
+            if mode == "fast":
+                r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="fast",
+                                  params=shared_params)
+                inner, p = r._fast_fn((size, size)), r.params
+            elif mode == "split":
+                r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="split",
+                                  split_tile=128, params=shared_params)
+                inner, p = r._split_fn((size, size)), r.params
+            elif mode == "patch_perf":
+                r = SuperResolver(model="didbl", dtype=jnp.bfloat16,
+                                  geometry="perf", params=shared_params)
+                inner, p = r._pipeline_for(r.plan_for(size, size)), r.params
+            elif mode == "patch_ref":
+                r = SuperResolver(model="didbl", dtype=jnp.bfloat16,
+                                  geometry="ref", params=shared_params)
+                inner, p = r._pipeline_for(r.plan_for(size, size)), r.params
+            elif mode == "int8_fast":
+                r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="fast",
+                                  forward="pallas_int8", params=shared_params)
+                inner, p = r._fast_fn((size, size)), r._fwd_params()
+            else:
+                continue
+            dt = timed(checksum_map(lambda pp, im: inner(pp, im)), p)
+            RESULTS[mode] = out_px / dt / 1e6
+            print(json.dumps({"mode": mode, "out_mpix_s": round(RESULTS[mode], 2)}),
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001 - record and keep measuring
+            print(json.dumps({"mode": mode, "error": str(e)[:200]}),
+                  file=sys.stderr, flush=True)
 
-    dt_fast = timed(run_fast)
-    fast_out = out_px / dt_fast / 1e6
-    fast_in = fast_out / 16.0
-    global_watchdog.cancel()
-
-    # Watchdog: if the tiled-path compile wedges (observed occasionally on
-    # the remote-compile relay), still emit the fast-mode result.
-    import os as _os
-    import threading
-
-    def _bail():
-        print(
-            json.dumps(
-                {
-                    "metric": (
-                        f"didbl x4 end-to-end on-device, {size}x{size} uint8, {dtype_name}: "
-                        f"fast(whole-frame) {fast_out:.1f} out-Mpix/s "
-                        f"({fast_in:.2f} in-Mpix/s); patch-mode measurement timed out; "
-                        f"baseline 100 Mpix/s on v5e-8 = 12.5/chip"
-                    ),
-                    "value": round(fast_out, 2),
-                    "unit": "output Mpix/s/chip",
-                    "vs_baseline": round(fast_out / 12.5, 3),
-                },
-
-            ),
-            flush=True,
-        )
-        _os._exit(0)
-
-    watchdog = threading.Timer(float(os.environ.get("IEK_BENCH_PATCH_TIMEOUT", "900")), _bail)
-    watchdog.daemon = True
-    watchdog.start()
-    dt_patch = timed(run_patch)
+    _DONE.set()
     watchdog.cancel()
-    patch_out = out_px / dt_patch / 1e6
-    patch_in = patch_out / 16.0
-
-    result = {
-        "metric": (
-            f"didbl x4 end-to-end on-device, {size}x{size} uint8 frames, {dtype_name}: "
-            f"fast(whole-frame) {fast_out:.1f} out-Mpix/s ({fast_in:.2f} in-Mpix/s), "
-            f"patch({geometry} tiles {resolver.patch}/{resolver.step}/{resolver.crop}) {patch_out:.1f} out-Mpix/s ({patch_in:.2f} in-Mpix/s); "
-            f"baseline 100 Mpix/s on v5e-8 = 12.5/chip"
-        ),
-        "value": round(fast_out, 2),
-        "unit": "output Mpix/s/chip",
-        "vs_baseline": round(fast_out / 12.5, 3),
-    }
-    print(json.dumps(result))
+    _emit_and_exit()
     return 0
 
 

@@ -33,11 +33,30 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_light_block", "fused_light53_block"]
 
 
-def _conv_shifted(x, w, out_h: int, out_w: int, k: int):
-    """VALID kxk conv of x (h, w, Cin) -> (out_h*out_w, Cout) via k*k shifted
-    MXU matmuls. ``w`` is (k, k, Cin, Cout); accumulation in f32."""
+def _conv_shifted(x, w, out_h: int, out_w: int, k: int, im2col: bool = False):
+    """VALID kxk conv of x (h, w, Cin) -> (out_h*out_w, Cout).
+
+    Two MXU layouts (ROADMAP r1 "im2col contraction layout" experiment):
+      * shifted (default): k*k accumulated (HW, Cin) x (Cin, Cout) dots —
+        no data duplication, k*k MXU passes with short K=Cin contractions;
+      * im2col: materialise the (HW, k*k*Cin) patch matrix in VMEM and run
+        ONE (HW, k*k*Cin) x (k*k*Cin, Cout) dot — k*k x the VMEM footprint,
+        but a single long-K contraction the MXU can stream.
+    """
     cin = x.shape[-1]
     cout = w.shape[-1]
+    if im2col:
+        cols = [
+            x[dy : dy + out_h, dx : dx + out_w, :].reshape(out_h * out_w, cin)
+            for dy in range(k)
+            for dx in range(k)
+        ]
+        mat = jnp.concatenate(cols, axis=1)  # (HW, k*k*Cin), dy-major
+        return jnp.dot(
+            mat,
+            w.reshape(k * k * cin, cout).astype(mat.dtype),
+            preferred_element_type=jnp.float32,
+        )
     acc = jnp.zeros((out_h * out_w, cout), jnp.float32)
     for dy in range(k):
         for dx in range(k):
@@ -58,13 +77,13 @@ def _relu_pad(t_flat, h, w, pad, dtype):
     return jnp.pad(t, ((pad, pad), (pad, pad), (0, 0))).astype(dtype)
 
 
-def _light_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, h, w, res_scale):
+def _light_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, h, w, res_scale, im2col=False):
     """x + res_scale * conv3(relu(conv3(x))); x_ref zero-padded by 1/side."""
     dt = x_ref.dtype
     x = x_ref[0]
-    t = _conv_shifted(x, w1_ref[...], h, w, 3) + b1_ref[...].astype(jnp.float32)
+    t = _conv_shifted(x, w1_ref[...], h, w, 3, im2col) + b1_ref[...].astype(jnp.float32)
     t = _relu_pad(t, h, w, 1, dt)
-    u = _conv_shifted(t, w2_ref[...], h, w, 3) + b2_ref[...].astype(jnp.float32)
+    u = _conv_shifted(t, w2_ref[...], h, w, 3, im2col) + b2_ref[...].astype(jnp.float32)
     ident = x[1 : 1 + h, 1 : 1 + w, :].reshape(h * w, -1).astype(jnp.float32)
     out = ident + res_scale * u
     out_ref[0] = out.reshape(h, w, -1).astype(dt)
@@ -75,7 +94,7 @@ def _light53_kernel(
     wa1_ref, ba1_ref, wa2_ref, ba2_ref,
     wb1_ref, bb1_ref, wb2_ref, bb2_ref,
     out_ref,
-    *, h, w, res_scale, identity_scale,
+    *, h, w, res_scale, identity_scale, im2col=False,
 ):
     """identity_scale*x + res_scale*(conv5(relu(conv3(x))) + conv3(relu(conv5(x))));
     x_ref zero-padded by 2 per side (the conv5 halo).
@@ -93,15 +112,15 @@ def _light53_kernel(
 
     # branch a: conv3 (1-padded interior) -> relu/zero-pad 2 -> conv5
     ta = _conv_shifted(
-        x[1 : 1 + h + 2, 1 : 1 + w + 2, :], wa1_ref[...], h, w, 3
+        x[1 : 1 + h + 2, 1 : 1 + w + 2, :], wa1_ref[...], h, w, 3, im2col
     ) + ba1_ref[...].astype(jnp.float32)
     ta = _relu_pad(ta, h, w, 2, dt)
-    acc = acc + _conv_shifted(ta, wa2_ref[...], h, w, 5)
+    acc = acc + _conv_shifted(ta, wa2_ref[...], h, w, 5, im2col)
 
     # branch b: conv5 -> relu/zero-pad 1 -> conv3
-    tb = _conv_shifted(x, wb1_ref[...], h, w, 5) + bb1_ref[...].astype(jnp.float32)
+    tb = _conv_shifted(x, wb1_ref[...], h, w, 5, im2col) + bb1_ref[...].astype(jnp.float32)
     tb = _relu_pad(tb, h, w, 1, dt)
-    acc = acc + _conv_shifted(tb, wb2_ref[...], h, w, 3)
+    acc = acc + _conv_shifted(tb, wb2_ref[...], h, w, 3, im2col)
 
     out = res_scale * acc
     out_ref[0] = out.reshape(h, w, -1).astype(dt)
@@ -129,8 +148,8 @@ def _check_vmem(h: int, w: int, c: int, dtype, halo: int, n_bufs: int) -> None:
         )
 
 
-@functools.partial(jax.jit, static_argnames=("res_scale", "interpret"))
-def fused_light_block(x, w1, b1, w2, b2, res_scale: float = 0.1, interpret: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("res_scale", "interpret", "im2col"))
+def fused_light_block(x, w1, b1, w2, b2, res_scale: float = 0.1, interpret: bool | None = None, im2col: bool = False):
     """Batched fused Light block. x: (N, H, W, C) unpadded; SAME semantics."""
     if interpret is None:
         interpret = _interpret_default()
@@ -139,7 +158,7 @@ def fused_light_block(x, w1, b1, w2, b2, res_scale: float = 0.1, interpret: bool
         _check_vmem(h, w, c, x.dtype, halo=1, n_bufs=4)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     dt = x.dtype
-    kernel = functools.partial(_light_kernel, h=h, w=w, res_scale=res_scale)
+    kernel = functools.partial(_light_kernel, h=h, w=w, res_scale=res_scale, im2col=im2col)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), dt),
@@ -156,7 +175,7 @@ def fused_light_block(x, w1, b1, w2, b2, res_scale: float = 0.1, interpret: bool
     )(xp, w1.astype(dt), b1, w2.astype(dt), b2)
 
 
-@functools.partial(jax.jit, static_argnames=("res_scale", "identity_scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("res_scale", "identity_scale", "interpret", "im2col"))
 def fused_light53_block(
     x,
     wa1, ba1, wa2, ba2,
@@ -164,6 +183,7 @@ def fused_light53_block(
     res_scale: float = 0.1,
     identity_scale: float = 0.9,
     interpret: bool | None = None,
+    im2col: bool = False,
 ):
     """Batched fused Light53 block. x: (N, H, W, C) unpadded; SAME semantics."""
     if interpret is None:
@@ -174,7 +194,8 @@ def fused_light53_block(
     xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
     dt = x.dtype
     kernel = functools.partial(
-        _light53_kernel, h=h, w=w, res_scale=res_scale, identity_scale=identity_scale
+        _light53_kernel, h=h, w=w, res_scale=res_scale,
+        identity_scale=identity_scale, im2col=im2col,
     )
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(

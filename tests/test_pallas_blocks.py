@@ -48,3 +48,24 @@ def test_fused_light53_matches_flax():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_im2col_layout_matches_shifted():
+    """The im2col single-dot contraction produces the same block output as
+    the shifted-dot layout (ROADMAP r1 MFU experiment)."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    c = 128
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, c)).astype(np.float32) * 0.3)
+    ws = [jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.05)
+          for s in ((3, 3, c, c), (c,), (5, 5, c, c), (c,),
+                    (5, 5, c, c), (c,), (3, 3, c, c), (c,))]
+    a = np.asarray(fused_light53_block(x, *ws, interpret=True))
+    b = np.asarray(fused_light53_block(x, *ws, interpret=True, im2col=True))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+    ws2 = ws[:2] + ws[6:]
+    a = np.asarray(fused_light_block(x, *ws2, interpret=True))
+    b = np.asarray(fused_light_block(x, *ws2, interpret=True, im2col=True))
+    np.testing.assert_allclose(a, b, atol=2e-5)

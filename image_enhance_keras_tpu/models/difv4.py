@@ -19,13 +19,15 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from image_enhance_keras_tpu.models.blocks import LightBlock
-from image_enhance_keras_tpu.ops.resize import resize_bilinear_tf1
+from image_enhance_keras_tpu.ops.resize import upsample_phase_tf1
 
 __all__ = ["Difvdsr4"]
 
 
 def _up2(h):
-    return resize_bilinear_tf1(h, (2 * h.shape[-3], 2 * h.shape[-2]))
+    # exact TF1 bilinear x2 as phase interleaving (elementwise, XLA-fused)
+    # instead of a dense resize matmul — same closed form as didbl's x4
+    return upsample_phase_tf1(h, 2)
 
 
 class Difvdsr4(nn.Module):

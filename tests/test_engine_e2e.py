@@ -276,3 +276,27 @@ def test_serving_pipeline_outputs_match_serial(tmp_path):
         pa = imread(str(a / f"i{i}_scaled(1x).png"))
         pb = imread(str(b / f"i{i}_scaled(1x).png"))
         np.testing.assert_array_equal(pa, pb)
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    """Exported serving artifact reproduces the live forward bit-for-bit and
+    loads without the model zoo (runtime/export.py)."""
+    from image_enhance_keras_tpu.runtime.export import export_forward, load_forward
+
+    r = _tiny_resolver()
+    img = np.random.default_rng(12).integers(0, 256, (24, 20, 3), dtype=np.uint8)
+    live = np.asarray(r._fast_fn((24, 20))(r.params, img))
+
+    path = str(tmp_path / "tiny.iekx")
+    nbytes = export_forward(r, (24, 20), path)
+    assert nbytes > 1000
+    fn = load_forward(path)
+    out = fn(img)
+    np.testing.assert_array_equal(out, live)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not an IEKX artifact"):
+        bad = tmp_path / "bad.iekx"
+        bad.write_bytes(b"junkjunkjunk")
+        load_forward(str(bad))

@@ -1,0 +1,64 @@
+"""int8 serving-profile quality gate: f32 vs bf16 vs pallas_int8 on the
+shipped checkpoint, NTIRE protocol.  Appends rows to EVAL_PROFILES.json and
+prints the int8 SSIM-Y delta (target <= 0.003 vs bf16 — VERDICT r1 item 5).
+
+Run on the TPU:  python scripts/eval_int8_profile.py [gt_dir] [n_images]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax.numpy as jnp
+
+    from image_enhance_keras_tpu.engine import SuperResolver
+    from image_enhance_keras_tpu.eval import evaluate_resolver_on_dir
+
+    gt_dir = sys.argv[1] if len(sys.argv) > 1 else "data_set5"
+    n_images = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    weights = os.environ.get("IEK_WEIGHTS", "weights_Double/didbl_set5demo.npz")
+
+    # limit to n images (compile cost: one program per distinct size)
+    import tempfile
+    import shutil
+
+    from image_enhance_keras_tpu.data.io import list_images
+
+    tmp = tempfile.mkdtemp(prefix="int8_eval_")
+    picked = [p for p in list_images(gt_dir) if "scaled" not in p][:n_images]
+    for p in picked:
+        shutil.copy(p, tmp)
+    print(f"evaluating {len(picked)} images: {[os.path.basename(p) for p in picked]}",
+          flush=True)
+
+    profiles = {
+        "f32_fast": dict(dtype=None, forward="xla"),
+        "bf16_fast": dict(dtype=jnp.bfloat16, forward="xla"),
+        "int8_fast": dict(dtype=jnp.bfloat16, forward="pallas_int8"),
+    }
+    path = "EVAL_PROFILES.json"
+    results = json.load(open(path)) if os.path.exists(path) else {}
+    for name, kw in profiles.items():
+        r = SuperResolver(model="didbl", weights=weights, mode="fast", **kw)
+        _, means = evaluate_resolver_on_dir(r, tmp, scale=4, verbose=False)
+        results[f"{name}_{len(picked)}img"] = means
+        print(json.dumps({name: means}), flush=True)
+    with open(path, "w") as f:
+        json.dump(results, f, indent=2)
+
+    k = f"{len(picked)}img"
+    d = results[f"bf16_fast_{k}"]["ssim_y"] - results[f"int8_fast_{k}"]["ssim_y"]
+    print(json.dumps({"int8_ssim_y_delta_vs_bf16": round(d, 5),
+                      "gate": "PASS" if abs(d) <= 0.003 else "FAIL"}), flush=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -295,7 +295,7 @@ class SuperResolver:
                 (img.shape[0] * self.scalemulti, img.shape[1] * self.scalemulti),
             )
             img = np.asarray(up).astype(np.uint8)
-        if self.mode == "split" and hasattr(self.module, "tail"):
+        if self.mode == "split" and self._supports_split():
             fn = self._split_fn(img.shape[:2])
             return np.asarray(fn(self._fwd_params(), jnp.asarray(img)))
         if self.mode == "fast" and img.shape[0] * img.shape[1] <= self.fast_max_pixels:
@@ -319,18 +319,25 @@ class SuperResolver:
             self._jitted_fast[tuple(hw)] = fn
         return fn
 
+    def _supports_split(self) -> bool:
+        m = self.module
+        tail_method = getattr(m, "split_tail_method", "tail")
+        return callable(getattr(m, "body", None)) and callable(
+            getattr(m, tail_method, None)
+        )
+
     def _split_fn(self, hw):
         """Whole-frame body + halo-striped tail: bit-exact fast-mode output
-        with tail memory bounded by ``split_tile`` LR rows per stripe.
+        with tail memory bounded by ``split_tile`` body-map rows per stripe.
 
-        Halo arithmetic (didbl family): the tail's receptive field past the
-        upsample is rf = 3*n_tail53 + 1 HR px (two light53 blocks of radius
-        3 + the out conv).  A stripe producing HR rows [s*k, s*(k+t)) needs
-        the LR slice [k-3, k+t+3) — 3 covers both ceil(rf/s)+1 rows for
-        exact TF1 bilinear sampling and the subpixel-conv (3x3 at LR)
-        alternative head — cropped by (k-s0)*s HR rows
-        after the tail.  Slices clamp at image edges, where clamped
-        sampling/zero conv padding coincide with the whole-frame program.
+        Halo arithmetic is declared by the module: a stripe producing tail
+        output rows [ts*k, ts*(k+t)) needs the body-map slice
+        [k - halo, k + t + halo) where ``halo >= ceil(rf/ts) + 1`` covers
+        the tail's receptive field plus exact upsample sampling (didbl:
+        rf = 3*n_tail53 + 1 = 7 at x4 -> halo 3, models.py:1194-1199;
+        difv4: rf 13 at x2 -> halo 8).  Slices clamp at image edges, where
+        clamped sampling/zero conv padding coincide with the whole-frame
+        program.
         """
         key = ("split", tuple(hw))
         fn = self._jitted.get(key)
@@ -339,10 +346,12 @@ class SuperResolver:
         if getattr(self, "forward_mode", "xla") != "xla":
             raise ValueError("mode='split' supports the XLA forward only")
         module = self.module
-        h_total = int(hw[0])
+        tail_method = getattr(module, "split_tail_method", "tail")
+        body_up = int(getattr(module, "body_upscale", 1))
+        ts = int(getattr(module, "tail_upscale", getattr(module, "scale", 4)))
+        halo = int(getattr(module, "split_halo", 3))
+        h_total = int(hw[0]) * body_up  # body-map rows
         t = max(1, self.split_tile)
-        halo = 3
-        scale = module.scale
 
         def run(params, img_u8):
             x = img_u8.astype(jnp.float32)[None] / 255.0
@@ -352,8 +361,10 @@ class SuperResolver:
                 tt = min(t, h_total - k)
                 s0 = max(k - halo, 0)
                 e0 = min(k + tt + halo, h_total)
-                y = module.apply({"params": params}, feats[:, s0:e0], method="tail")
-                outs.append(y[:, (k - s0) * scale : (k - s0 + tt) * scale])
+                y = module.apply(
+                    {"params": params}, feats[:, s0:e0], method=tail_method
+                )
+                outs.append(y[:, (k - s0) * ts : (k - s0 + tt) * ts])
             out = jnp.concatenate(outs, axis=1)[0] * 255.0
             return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
 

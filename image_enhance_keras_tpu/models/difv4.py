@@ -9,6 +9,12 @@ Graph:
   -> TF1 bilinear x2                      (models.py:1041)
   -> 6x LightBlock                        (models.py:1042-1044)
   -> 3x3 conv -> 3, relu                  (models.py:1047)
+
+Split-serving layout (engine mode='split'): ``body`` = everything through
+the mid tower + long skip (runs whole-frame at 2x), ``tail`` = the second
+x2 upsample + 6 tail blocks + out conv — receptive field 13 px at 4x, so
+halo'd 2x-map stripes reproduce the whole-frame forward exactly
+(split_halo=8 rows of the 2x map covers ceil(13/2)+1).
 """
 
 from __future__ import annotations
@@ -20,6 +26,7 @@ import flax.linen as nn
 
 from image_enhance_keras_tpu.models.blocks import LightBlock
 from image_enhance_keras_tpu.ops.resize import upsample_phase_tf1
+
 
 __all__ = ["Difvdsr4"]
 
@@ -37,22 +44,49 @@ class Difvdsr4(nn.Module):
     n_tail: int = 6
     dtype: Any = None
 
-    @nn.compact
-    def __call__(self, x):
+    # split-mode geometry (engine._split_fn): body output is 2x the input;
+    # tail upsamples a further 2x with a 13-px HR receptive field.
+    # The tail method is `tail_fn` — `tail` must stay the submodule list so
+    # param scopes remain tail_0.. (the Keras importer's layer map).
+    body_upscale: int = 2
+    tail_upscale: int = 2
+    split_halo: int = 8
+    split_tail_method: str = "tail_fn"
+
+    def setup(self):
+        self.level1 = nn.Conv(self.features, (1, 1), padding="SAME", dtype=self.dtype)
+        self.head = [
+            LightBlock(self.features, leaky_slope=0.001, dtype=self.dtype)
+            for _ in range(self.n_head)
+        ]
+        self.mid = [
+            LightBlock(self.features, dtype=self.dtype) for _ in range(self.n_mid)
+        ]
+        self.tail = [
+            LightBlock(self.features, dtype=self.dtype) for _ in range(self.n_tail)
+        ]
+        self.out = nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype)
+
+    def body(self, x):
+        """head tower at 1x -> x2 -> mid tower + long skip, at 2x."""
         x = x.astype(self.dtype or x.dtype)
-        h = nn.Conv(self.features, (1, 1), padding="SAME", dtype=self.dtype, name="level1")(x)
-        h = nn.relu(h)
-        for i in range(self.n_head):
-            h = LightBlock(
-                self.features, leaky_slope=0.001, dtype=self.dtype, name=f"head_{i}"
-            )(h)
+        h = nn.relu(self.level1(x))
+        for blk in self.head:
+            h = blk(h)
         h = _up2(h)
         skip = h
-        for i in range(self.n_mid):
-            h = LightBlock(self.features, dtype=self.dtype, name=f"mid_{i}")(h)
-        h = h + skip
+        for blk in self.mid:
+            h = blk(h)
+        return h + skip
+
+    def tail_fn(self, h):
+        """x2 upsample + tail tower + out conv (spatially local, RF 13 at 4x)."""
+        h = h.astype(self.dtype or h.dtype)
         h = _up2(h)
-        for i in range(self.n_tail):
-            h = LightBlock(self.features, dtype=self.dtype, name=f"tail_{i}")(h)
-        out = nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype, name="out")(h)
+        for blk in self.tail:
+            h = blk(h)
+        out = self.out(h)
         return nn.relu(out).astype(jnp.float32)
+
+    def __call__(self, x):
+        return self.tail_fn(self.body(x))

@@ -189,10 +189,12 @@ class ShardedResolver(SuperResolver):
         module = self.module
         mesh = self.mesh
         axis = _axis(mesh)
-        h_total = int(hw[0])
+        tail_method = getattr(module, "split_tail_method", "tail")
+        body_up = int(getattr(module, "body_upscale", 1))
+        ts = int(getattr(module, "tail_upscale", getattr(module, "scale", 4)))
+        halo = int(getattr(module, "split_halo", 3))
+        h_total = int(hw[0]) * body_up
         t = max(1, self.split_tile)
-        halo = 3
-        scale = module.scale
         spatial = self._spatial()
         width_sh = NamedSharding(mesh, P(None, None, axis, None))
 
@@ -206,8 +208,8 @@ class ShardedResolver(SuperResolver):
                 s0 = max(k - halo, 0)
                 e0 = min(k + tt + halo, h_total)
                 sl = jax.lax.with_sharding_constraint(feats[:, s0:e0], width_sh)
-                y = module.apply({"params": params}, sl, method="tail")
-                outs.append(y[:, (k - s0) * scale : (k - s0 + tt) * scale])
+                y = module.apply({"params": params}, sl, method=tail_method)
+                outs.append(y[:, (k - s0) * ts : (k - s0 + tt) * ts])
             out = jnp.concatenate(outs, axis=1)[0] * 255.0
             return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
 

@@ -106,3 +106,37 @@ def test_param_tree_unchanged_by_setup_refactor():
     assert set(r.params["body53_0"].keys()) == {
         "conv_a1", "conv_a2", "conv_b1", "conv_b2",
     }
+
+
+@pytest.mark.parametrize("hw", [(24, 20), (17, 16)])
+def test_difv4_split_equals_fast_bitexact(hw):
+    """difv4's progressive 2x+2x graph also splits exactly: body through the
+    mid tower at 2x, tail (second upsample + 6 blocks, RF 13) over halo'd
+    stripes of the 2x map."""
+    from image_enhance_keras_tpu.engine import SuperResolver
+    from image_enhance_keras_tpu.models.difv4 import Difvdsr4
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+    from image_enhance_keras_tpu.models import init_params
+
+    module = Difvdsr4(features=16, n_head=1, n_mid=2, n_tail=2)
+    r = SuperResolver.__new__(SuperResolver)
+    r.model_name = "difv4_tiny"
+    r.module = module
+    r.spec = ModelSpec("difv4_tiny", lambda **k: module, 4, False, "tiny", "w")
+    r.patch, r.step, r.crop = 48, 32, 8
+    r.scalemulti = 4
+    r.tile_chunk = 8
+    r.mode = "split"
+    r.fast_max_pixels = 1 << 20
+    r.split_tile = 16
+    r.forward_mode = "xla"
+    r._dtype = None
+    r._jitted = {}
+    r._jitted_fast = {}
+    r.params = init_params(module, jax.random.PRNGKey(2), input_hw=(16, 16))
+
+    img = np.random.default_rng(8).integers(0, 256, (*hw, 3), dtype=np.uint8)
+    fast = np.asarray(r._fast_fn(hw)(r.params, jnp.asarray(img)))
+    split = np.asarray(r._split_fn(hw)(r.params, jnp.asarray(img)))
+    assert split.shape == (hw[0] * 4, hw[1] * 4, 3)
+    np.testing.assert_array_equal(split, fast)

@@ -256,7 +256,7 @@ class ShardedResolver(SuperResolver):
             self._jitted[key] = fn
         import numpy as _np
 
-        return _np.asarray(fn(self.params, jnp.asarray(frames)))
+        return _np.asarray(fn(self._fwd_params(), jnp.asarray(frames)))
 
     def upscale_patch_average(self, img, patch: int = 32, step: int = 16):
         """Dense patch batch sharded across chips (same math as the base)."""
@@ -303,4 +303,4 @@ class ShardedResolver(SuperResolver):
             fn = jax.jit(run, in_shardings=(self._repl(), self._repl()),
                          out_shardings=self._repl())
             self._jitted[key] = fn
-        return np.asarray(fn(self.params, jnp.asarray(img)))
+        return np.asarray(fn(self._fwd_params(), jnp.asarray(img)))

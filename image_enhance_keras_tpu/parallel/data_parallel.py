@@ -96,37 +96,48 @@ class ShardedResolver(SuperResolver):
         if fn is not None:
             return fn
 
-        module = self.module
+        forward = self._forward_fn()
         mesh = self.mesh
         axis = _axis(mesh)
         nd = self.n_devices
         n = plan.n_tiles
         # per-device chunking bounds peak activation HBM; global chunk is a
-        # multiple of the device count so each shard is equal.
+        # multiple of the device count so each shard is equal.  Full chunks
+        # plus one remainder call padded only to the device count — at most
+        # nd-1 dummy tiles instead of chunk-1.
         chunk = max(1, self.tile_chunk // nd) * nd
-        n_pad = (n + chunk - 1) // chunk * chunk
+        n_full = (n // chunk) * chunk
+        rem = n - n_full
+        rem_pad = -(-rem // nd) * nd if rem else 0
 
         tile_sharding = NamedSharding(mesh, P(None, axis))
+        chunk_sharding = NamedSharding(mesh, P(axis))
+
+        def apply_chunk(params, b):
+            b = jax.lax.with_sharding_constraint(b, chunk_sharding)
+            return forward(params, b)
 
         def run(params, img_u8):
             img = img_u8.astype(jnp.float32)
             padded = pad_to_plan(img, plan)
             tiles = extract_tiles(padded, plan) / 255.0
-            if n_pad != n:
-                tiles = jnp.concatenate(
-                    [tiles, jnp.zeros((n_pad - n,) + tiles.shape[1:], tiles.dtype)]
+            parts = []
+            if n_full:
+                batches = tiles[:n_full].reshape(
+                    n_full // chunk, chunk, *tiles.shape[1:]
                 )
-            batches = tiles.reshape(n_pad // chunk, chunk, *tiles.shape[1:])
-            batches = jax.lax.with_sharding_constraint(batches, tile_sharding)
-
-            def apply_chunk(b):
-                b = jax.lax.with_sharding_constraint(
-                    b, NamedSharding(mesh, P(axis))
-                )
-                return module.apply({"params": params}, b)
-
-            out = jax.lax.map(apply_chunk, batches)
-            out = out.reshape(n_pad, *out.shape[2:])[:n] * 255.0
+                batches = jax.lax.with_sharding_constraint(batches, tile_sharding)
+                out = jax.lax.map(lambda b: apply_chunk(params, b), batches)
+                parts.append(out.reshape(n_full, *out.shape[2:]))
+            if rem:
+                tail = tiles[n_full:]
+                if rem_pad != rem:
+                    tail = jnp.concatenate(
+                        [tail, jnp.zeros((rem_pad - rem,) + tail.shape[1:], tail.dtype)]
+                    )
+                parts.append(apply_chunk(params, tail)[:rem])
+            out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+            out = out * 255.0
             canvas = stitch_tiles(out, plan)
             result = crop_output(canvas, plan)
             return jnp.clip(jnp.round(result), 0.0, 255.0).astype(jnp.uint8)

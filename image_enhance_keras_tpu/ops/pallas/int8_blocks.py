@@ -21,7 +21,7 @@ Quantization scheme:
   * int32 accumulators cannot overflow: 25 taps x 128ch x 127^2 ~ 5e7 << 2^31.
 
 Spatial tiling with EXACT SAME-chain semantics: the grid walks
-(batch, H/th, W/tw); each step DMAs a (th+2*halo, tw+2*halo, C) window from
+(batch, H/th, W/tw); each step DMAs a (th+2*halo, tw+win_pad, C) window from
 HBM (halo = sum of both convs' radii) and computes the block's FIRST conv
 VALID on the extended window, so interior sub-tile boundaries see the real
 intermediate values a whole-image SAME chain would produce.  Positions of
@@ -29,6 +29,15 @@ the intermediate ring that fall OUTSIDE the image are masked to zero — the
 second SAME conv's zero padding at true image borders.  Overlapping windows
 cannot be a BlockSpec, hence the manual halo DMA (the r1 roadmap item); DMA
 is ~25x cheaper than the tile's MXU work, so no double buffering is needed.
+
+Mosaic alignment rules (hardware-found, r2): a VMEM ``memref_slice`` must be
+a multiple of the (8, 128) tiling on its last two dims, so the DMA'd window
+width is ``tw + round_up(2*halo, 8)`` (halo columns on the left, the
+remainder as extra right padding) and tile sizes th/tw are multiples of 8
+dividing the 8-aligned padded image.  H/W are padded up to multiples of 8
+in the wrapper; the kernel zeroes output positions outside the true image
+so inter-block chains keep exact SAME zero-border semantics, and the
+wrapper crops the pad back off.
 
 Used by models/didbl_pallas.apply_didbl_int8 (engine --forward pallas_int8):
 the same kernel serves the LR body tower and the 16x-pixel post-upsample
@@ -94,12 +103,18 @@ def _border_mask(eh, ew, row0, col0, h_img, w_img):
     return inside.astype(jnp.float32)
 
 
+def _win_pad(halo: int) -> int:
+    """Total extra width DMA'd beyond tw: 8-aligned so the VMEM slice width
+    (tw + _win_pad) stays a multiple of the sublane tiling when tw is."""
+    return -(-(2 * halo) // 8) * 8
+
+
 def _dma_window(x_hbm, scratch, sem, i, ty, tx, th, tw, halo):
     dma = pltpu.make_async_copy(
         x_hbm.at[
             i,
             pl.ds(ty * th, th + 2 * halo),
-            pl.ds(tx * tw, tw + 2 * halo),
+            pl.ds(tx * tw, tw + _win_pad(halo)),
             :,
         ],
         scratch,
@@ -124,7 +139,7 @@ def _light53_int8_kernel(
     # halo = 3 (first-conv radius + second-conv radius, max over branches)
     i, ty, tx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     _dma_window(x_hbm, xwin, sem, i, ty, tx, th, tw, halo=3)
-    x = xwin[:].astype(jnp.float32)  # (th+6, tw+6, C)
+    x = xwin[:].astype(jnp.float32)  # (th+6, tw+_win_pad(3), C)
 
     ident = x[3 : 3 + th, 3 : 3 + tw, :].reshape(th * tw, -1)
     xq, sx = _quantize(x)
@@ -148,7 +163,10 @@ def _light53_int8_kernel(
     b = _dequant(_conv_int8(tbq, wb2[...], th, tw, 3), stb, sb2[...], bb2[...])
 
     out = identity_scale * ident + res_scale * (a + b).reshape(th * tw, -1)
-    out_ref[0] = out.reshape(th, tw, -1).astype(out_ref.dtype)
+    # zero positions beyond the true image so the H/W-to-8 pad columns stay
+    # exact SAME zero borders for the next block in the chain
+    out = out.reshape(th, tw, -1) * _border_mask(th, tw, r0, c0, h_img, w_img)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _light_int8_kernel(
@@ -169,7 +187,8 @@ def _light_int8_kernel(
     tq, st = _quantize(t)
     u = _dequant(_conv_int8(tq, w2[...], th, tw, 3), st, s2[...], b2[...])
     out = ident + res_scale * u.reshape(th * tw, -1)
-    out_ref[0] = out.reshape(th, tw, -1).astype(out_ref.dtype)
+    out = out.reshape(th, tw, -1) * _border_mask(th, tw, r0, c0, h_img, w_img)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _interpret_default() -> bool:
@@ -177,12 +196,32 @@ def _interpret_default() -> bool:
 
 
 def _pick_tile(dim: int, target: int) -> int:
-    """Largest divisor of `dim` <= target (spatial dims here are products of
-    tile geometry, so a good divisor always exists)."""
-    for t in range(min(target, dim), 0, -1):
+    """Largest multiple-of-8 divisor of `dim` <= target (`dim` is 8-aligned
+    by the wrappers, so 8 itself always qualifies).  Multiples of 8 keep
+    every VMEM slice width on the (8, 128) tiling Mosaic requires."""
+    for t in range(min(target, dim) // 8 * 8, 0, -8):
         if dim % t == 0:
             return t
     return dim
+
+
+def _round8(v: int) -> int:
+    return -(-v // 8) * 8
+
+
+def _pad_for_grid(x, halo: int):
+    """Zero-pad (N, H, W, C) for the halo'd 8-aligned window grid.
+
+    Returns (padded, h8, w8): top/left get `halo`, bottom fills H->h8 plus
+    `halo`, right fills W->w8 plus the window-alignment remainder."""
+    n, h, w, c = x.shape
+    h8, w8 = _round8(h), _round8(w)
+    wp = _win_pad(halo)
+    xp = jnp.pad(
+        x,
+        ((0, 0), (halo, (h8 - h) + halo), (halo, (w8 - w) + wp - halo), (0, 0)),
+    )
+    return xp, h8, w8
 
 
 def _full(shape):
@@ -213,10 +252,10 @@ def light53_int8(
     if interpret is None:
         interpret = _interpret_default()
     n, h, w, c = x.shape
-    th = _pick_tile(h, tile[0])
-    tw = _pick_tile(w, tile[1])
     halo = 3
-    xp = jnp.pad(x, ((0, 0), (halo, halo), (halo, halo), (0, 0)))
+    xp, h8, w8 = _pad_for_grid(x, halo)
+    th = _pick_tile(h8, tile[0])
+    tw = _pick_tile(w8, tile[1])
     kernel = functools.partial(
         _light53_int8_kernel, th=th, tw=tw, h_img=h, w_img=w,
         res_scale=res_scale, identity_scale=identity_scale,
@@ -227,24 +266,28 @@ def light53_int8(
         _full((5, 5, c, c)), _full((c,)), _full((c,)),
         _full((3, 3, c, c)), _full((c,)), _full((c,)),
     ]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
-        grid=(n, h // th, w // tw),
+        out_shape=jax.ShapeDtypeStruct((n, h8, w8, c), x.dtype),
+        grid=(n, h8 // th, w8 // tw),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + conv_specs,
         out_specs=pl.BlockSpec(
             (1, th, tw, c), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * halo, tw + 2 * halo, c), x.dtype),
+            pltpu.VMEM((th + 2 * halo, tw + _win_pad(halo), c), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         xp,
         wa1q, sa1, ba1.astype(jnp.float32), wa2q, sa2, ba2.astype(jnp.float32),
         wb1q, sb1, bb1.astype(jnp.float32), wb2q, sb2, bb2.astype(jnp.float32),
     )
+    return out[:, :h, :w, :]
 
 
 @functools.partial(jax.jit, static_argnames=("res_scale", "tile", "interpret"))
@@ -258,17 +301,17 @@ def light_int8(
     if interpret is None:
         interpret = _interpret_default()
     n, h, w, c = x.shape
-    th = _pick_tile(h, tile[0])
-    tw = _pick_tile(w, tile[1])
     halo = 2
-    xp = jnp.pad(x, ((0, 0), (halo, halo), (halo, halo), (0, 0)))
+    xp, h8, w8 = _pad_for_grid(x, halo)
+    th = _pick_tile(h8, tile[0])
+    tw = _pick_tile(w8, tile[1])
     kernel = functools.partial(
         _light_int8_kernel, th=th, tw=tw, h_img=h, w_img=w, res_scale=res_scale
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
-        grid=(n, h // th, w // tw),
+        out_shape=jax.ShapeDtypeStruct((n, h8, w8, c), x.dtype),
+        grid=(n, h8 // th, w8 // tw),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
         + [_full((3, 3, c, c)), _full((c,)), _full((c,)),
            _full((3, 3, c, c)), _full((c,)), _full((c,))],
@@ -276,8 +319,12 @@ def light_int8(
             (1, th, tw, c), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * halo, tw + 2 * halo, c), x.dtype),
+            pltpu.VMEM((th + 2 * halo, tw + _win_pad(halo), c), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(xp, w1q, s1, b1.astype(jnp.float32), w2q, s2, b2.astype(jnp.float32))
+    return out[:, :h, :w, :]

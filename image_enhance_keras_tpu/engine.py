@@ -326,6 +326,42 @@ class SuperResolver:
             getattr(m, tail_method, None)
         )
 
+    def _split_body_tail_fns(self):
+        """(body_fn, tail_fn) for the current forward mode.
+
+        xla: the module's declared body/tail methods.  pallas_int8: the int8
+        kernel body/tail (didbl tf1_bilinear head; same receptive field, so
+        the module's split_halo applies — striped output matches whole-frame
+        int8 up to per-tile quantization-scale noise)."""
+        module = self.module
+        fm = getattr(self, "forward_mode", "xla")
+        if fm == "xla":
+            tail_method = getattr(module, "split_tail_method", "tail")
+            body_fn = lambda p, x: module.apply({"params": p}, x, method="body")
+            tail_fn = lambda p, h: module.apply(
+                {"params": p}, h, method=tail_method
+            )
+            return body_fn, tail_fn
+        if fm == "pallas_int8":
+            from image_enhance_keras_tpu.models.didbl_pallas import (
+                apply_didbl_int8_body,
+                apply_didbl_int8_tail,
+            )
+
+            m = module
+            if getattr(m, "upsampler", "tf1_bilinear") != "tf1_bilinear":
+                raise ValueError("pallas_int8 supports the tf1_bilinear head")
+            body_fn = lambda qp, x: apply_didbl_int8_body(
+                qp, x, n_body53=m.n_body53, n_light=m.n_light
+            )
+            tail_fn = lambda qp, h: apply_didbl_int8_tail(
+                qp, h, n_tail53=m.n_tail53, scale=m.scale
+            )
+            return body_fn, tail_fn
+        raise ValueError(
+            f"mode='split' supports the xla and pallas_int8 forwards, not {fm!r}"
+        )
+
     def _split_fn(self, hw):
         """Whole-frame body + halo-striped tail: bit-exact fast-mode output
         with tail memory bounded by ``split_tile`` body-map rows per stripe.
@@ -343,10 +379,8 @@ class SuperResolver:
         fn = self._jitted.get(key)
         if fn is not None:
             return fn
-        if getattr(self, "forward_mode", "xla") != "xla":
-            raise ValueError("mode='split' supports the XLA forward only")
         module = self.module
-        tail_method = getattr(module, "split_tail_method", "tail")
+        body_fn, tail_fn = self._split_body_tail_fns()
         body_up = int(getattr(module, "body_upscale", 1))
         ts = int(getattr(module, "tail_upscale", getattr(module, "scale", 4)))
         halo = int(getattr(module, "split_halo", 3))
@@ -355,15 +389,13 @@ class SuperResolver:
 
         def run(params, img_u8):
             x = img_u8.astype(jnp.float32)[None] / 255.0
-            feats = module.apply({"params": params}, x, method="body")
+            feats = body_fn(params, x)
             outs = []
             for k in range(0, h_total, t):
                 tt = min(t, h_total - k)
                 s0 = max(k - halo, 0)
                 e0 = min(k + tt + halo, h_total)
-                y = module.apply(
-                    {"params": params}, feats[:, s0:e0], method=tail_method
-                )
+                y = tail_fn(params, feats[:, s0:e0])
                 outs.append(y[:, (k - s0) * ts : (k - s0 + tt) * ts])
             out = jnp.concatenate(outs, axis=1)[0] * 255.0
             return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)

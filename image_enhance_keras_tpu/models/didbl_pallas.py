@@ -24,7 +24,13 @@ from image_enhance_keras_tpu.ops.pallas.blocks import (
 )
 from image_enhance_keras_tpu.ops.resize import resize_bilinear_tf1
 
-__all__ = ["apply_didbl_pallas", "quantize_didbl_params", "apply_didbl_int8"]
+__all__ = [
+    "apply_didbl_pallas",
+    "quantize_didbl_params",
+    "apply_didbl_int8",
+    "apply_didbl_int8_body",
+    "apply_didbl_int8_tail",
+]
 
 
 def _conv(x, p, precision=None):
@@ -174,6 +180,54 @@ def _light53_i8(x, p, tile, interpret):
     )
 
 
+def apply_didbl_int8_body(
+    qparams: Any,
+    x: jnp.ndarray,
+    n_body53: int = 16,
+    n_light: int = 6,
+    tile: tuple[int, int] = (64, 128),
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """int8 pre-upsample tower at LR (mirrors DifvdsrDouble.body)."""
+    from image_enhance_keras_tpu.ops.pallas.int8_blocks import light_int8
+
+    h = x.astype(jnp.bfloat16)
+    h = jnp.maximum(_conv(h, qparams["level1"]), 0.0)
+    for i in range(n_body53):
+        h = _light53_i8(h, qparams[f"body53_{i}"], tile, interpret)
+    for i in range(n_light):
+        p = qparams[f"light_{i}"]
+        h = light_int8(
+            h,
+            p["conv_a"]["q"], p["conv_a"]["s"], p["conv_a"]["bias"],
+            p["conv_b"]["q"], p["conv_b"]["s"], p["conv_b"]["bias"],
+            res_scale=0.1, tile=tile, interpret=interpret,
+        )
+    return h
+
+
+def apply_didbl_int8_tail(
+    qparams: Any,
+    h: jnp.ndarray,
+    n_tail53: int = 2,
+    scale: int = 4,
+    tile: tuple[int, int] = (64, 128),
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """int8 x4 upsample + post-upsample blocks + out conv (mirrors
+    DifvdsrDouble.tail; same receptive field, so the engine's split-mode
+    halo arithmetic applies unchanged).  Per-tile activation scales are
+    computed from whatever window the kernel sees, so striped output equals
+    the whole-frame int8 forward up to quantization noise (not bitwise)."""
+    from image_enhance_keras_tpu.ops.resize import upsample_phase_tf1
+
+    h = upsample_phase_tf1(h.astype(jnp.bfloat16), scale)
+    for i in range(n_tail53):
+        h = _light53_i8(h, qparams[f"tail53_{i}"], tile, interpret)
+    out = _conv(h, qparams["out"])
+    return jnp.maximum(out, 0.0).astype(jnp.float32)
+
+
 def apply_didbl_int8(
     qparams: Any,
     x: jnp.ndarray,
@@ -189,24 +243,11 @@ def apply_didbl_int8(
     post-upsample tail via the halo-DMA spatial grid.  Activations stay bf16
     between blocks; identity paths carry no quantization error.
     """
-    from image_enhance_keras_tpu.ops.resize import upsample_phase_tf1
-
-    h = x.astype(jnp.bfloat16)
-    h = jnp.maximum(_conv(h, qparams["level1"]), 0.0)
-    for i in range(n_body53):
-        h = _light53_i8(h, qparams[f"body53_{i}"], tile, interpret)
-    from image_enhance_keras_tpu.ops.pallas.int8_blocks import light_int8
-
-    for i in range(n_light):
-        p = qparams[f"light_{i}"]
-        h = light_int8(
-            h,
-            p["conv_a"]["q"], p["conv_a"]["s"], p["conv_a"]["bias"],
-            p["conv_b"]["q"], p["conv_b"]["s"], p["conv_b"]["bias"],
-            res_scale=0.1, tile=tile, interpret=interpret,
-        )
-    h = upsample_phase_tf1(h, scale)
-    for i in range(n_tail53):
-        h = _light53_i8(h, qparams[f"tail53_{i}"], tile, interpret)
-    out = _conv(h, qparams["out"])
-    return jnp.maximum(out, 0.0).astype(jnp.float32)
+    h = apply_didbl_int8_body(
+        qparams, x, n_body53=n_body53, n_light=n_light, tile=tile,
+        interpret=interpret,
+    )
+    return apply_didbl_int8_tail(
+        qparams, h, n_tail53=n_tail53, scale=scale, tile=tile,
+        interpret=interpret,
+    )

@@ -195,12 +195,10 @@ class ShardedResolver(SuperResolver):
         fn = self._jitted.get(key)
         if fn is not None:
             return fn
-        if getattr(self, "forward_mode", "xla") != "xla":
-            raise ValueError("mode='split' supports the XLA forward only")
         module = self.module
         mesh = self.mesh
         axis = _axis(mesh)
-        tail_method = getattr(module, "split_tail_method", "tail")
+        body_fn, tail_fn = self._split_body_tail_fns()
         body_up = int(getattr(module, "body_upscale", 1))
         ts = int(getattr(module, "tail_upscale", getattr(module, "scale", 4)))
         halo = int(getattr(module, "split_halo", 3))
@@ -212,14 +210,14 @@ class ShardedResolver(SuperResolver):
         def run(params, img_u8):
             x = img_u8.astype(jnp.float32)[None] / 255.0
             x = jax.lax.with_sharding_constraint(x, spatial)
-            feats = module.apply({"params": params}, x, method="body")
+            feats = body_fn(params, x)
             outs = []
             for k in range(0, h_total, t):
                 tt = min(t, h_total - k)
                 s0 = max(k - halo, 0)
                 e0 = min(k + tt + halo, h_total)
                 sl = jax.lax.with_sharding_constraint(feats[:, s0:e0], width_sh)
-                y = module.apply({"params": params}, sl, method=tail_method)
+                y = tail_fn(params, sl)
                 outs.append(y[:, (k - s0) * ts : (k - s0 + tt) * ts])
             out = jnp.concatenate(outs, axis=1)[0] * 255.0
             return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)

@@ -81,6 +81,23 @@ def test_split_equals_fast_subpixel_head():
     np.testing.assert_array_equal(split, fast)
 
 
+def test_split_int8_matches_fast_int8():
+    """mode='split' + forward='pallas_int8' (bounded-memory int8 serving):
+    the int8 tail sees different quantization windows per stripe, so parity
+    vs the whole-frame int8 forward is near-exact, not bitwise — bound the
+    deviation to a couple of uint8 levels on a tiny model."""
+    r = _tiny_resolver()
+    r.forward_mode = "pallas_int8"
+    r.split_tile = 8
+    hw = (24, 24)
+    img = np.random.default_rng(7).integers(0, 256, (*hw, 3), dtype=np.uint8)
+    qp = r._fwd_params()
+    fast = np.asarray(r._fast_fn(hw)(qp, jnp.asarray(img))).astype(np.int32)
+    split = np.asarray(r._split_fn(hw)(qp, jnp.asarray(img))).astype(np.int32)
+    assert np.abs(split - fast).max() <= 3
+    assert (split != fast).mean() < 0.05
+
+
 def test_pipeline_chunking_no_waste():
     """Tiled pipeline output is identical for any tile_chunk (the chunking
     must never change results, only the schedule) including non-divisor

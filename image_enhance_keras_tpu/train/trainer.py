@@ -168,15 +168,20 @@ class Trainer:
             val_images = train_images[:2]
 
         hr_patch = cfg.lr_patch * 4
+        # multi-host: each process samples ITS shard of the global batch
+        # (distinct seed per host); _global_batch assembles the global array
+        # from the per-process shards (parallel/distributed.py bootstrap).
+        proc = jax.process_index() if jax.process_count() > 1 else 0
         self.sampler = PatchSampler(
             train_images,
             hr_patch=hr_patch,
             batch_size=cfg.batch_size,
-            seed=cfg.seed,
+            seed=cfg.seed + 7919 * proc,
             augment=cfg.augment,
         )
         self.val_sampler = PatchSampler(
-            val_images, hr_patch=hr_patch, batch_size=cfg.batch_size, seed=cfg.seed + 1
+            val_images, hr_patch=hr_patch, batch_size=cfg.batch_size,
+            seed=cfg.seed + 1 + 7919 * proc,
         )
 
         if cfg.lr_schedule == "cosine":
@@ -255,6 +260,21 @@ class Trainer:
         self.ckpt = CheckpointManager(cfg.checkpoint_dir, monitor=monitor, mode="max")
         self.history = HistoryLogger(f"{cfg.checkpoint_dir}/history.json")
 
+    def _global_batch(self, batch_np: np.ndarray) -> jnp.ndarray:
+        """Host batch -> device array for the train/eval step.
+
+        Single process: a plain transfer (the jit's in_shardings place it).
+        Multi-host: this process's sample is one shard of the global batch
+        along the data axis — assemble the global array without any
+        cross-host data movement (global batch = local batch x n_processes;
+        gradients still all-reduce over ICI/DCN inside the step)."""
+        if self.mesh is None or jax.process_count() == 1:
+            return jnp.asarray(batch_np)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+        return jax.make_array_from_process_local_data(sharding, batch_np)
+
     def _image_metrics(self) -> dict[str, float]:
         if self._image_metric_step is None or not self.metric_images:
             return {}
@@ -292,13 +312,15 @@ class Trainer:
             t0 = time.time()
             losses, psnrs = [], []
             for _ in range(steps_per_epoch):
-                batch = jnp.asarray(self.sampler.sample())
+                batch = self._global_batch(self.sampler.sample())
                 self.state, metrics = self.train_step(self.state, batch)
                 losses.append(metrics["loss"])
                 psnrs.append(metrics["psnr"])
             val = {}
             vals = [
-                self.eval_step(self.state.params, jnp.asarray(self.val_sampler.sample()))
+                self.eval_step(
+                    self.state.params, self._global_batch(self.val_sampler.sample())
+                )
                 for _ in range(val_steps)
             ]
             val = {

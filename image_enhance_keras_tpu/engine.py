@@ -243,12 +243,19 @@ class SuperResolver:
             from image_enhance_keras_tpu.models.didbl_pallas import (
                 quantize_didbl_params,
             )
+            from image_enhance_keras_tpu.data.pipeline import synthetic_images
 
+            # static activation scales from a deterministic synthetic tile
+            # (recalibrate with real data via quantize_didbl_params(calib_x=))
             m = self.module
+            calib = (
+                jnp.asarray(synthetic_images(1, 128)[0], jnp.float32)[None]
+                / 255.0
+            )
             qp = jax.device_put(
                 quantize_didbl_params(
                     self.params, n_body53=m.n_body53, n_light=m.n_light,
-                    n_tail53=m.n_tail53,
+                    n_tail53=m.n_tail53, calib_x=calib, scale=m.scale,
                 )
             )
             self._qparams = qp

@@ -27,6 +27,7 @@ from image_enhance_keras_tpu.ops.resize import resize_bilinear_tf1
 __all__ = [
     "apply_didbl_pallas",
     "quantize_didbl_params",
+    "calibrate_didbl_act_scales",
     "apply_didbl_int8",
     "apply_didbl_int8_body",
     "apply_didbl_int8_tail",
@@ -139,12 +140,69 @@ def apply_didbl_pallas(
 # int8 serving path (ops/pallas/int8_blocks.py)
 # ---------------------------------------------------------------------------
 
+def calibrate_didbl_act_scales(
+    params: Any,
+    x: jnp.ndarray,
+    n_body53: int = 16,
+    n_light: int = 6,
+    n_tail53: int = 2,
+    scale: int = 4,
+) -> dict:
+    """Post-training activation calibration for the int8 serving path.
+
+    Replays the exact didbl graph in f32 on a representative input and
+    records the abs-max at every quantization point (block input + each
+    branch's post-relu intermediate).  Returns {block_name: (k,) f32 int8
+    scales} the kernels consume as static scales — removing the per-tile
+    abs-max reduction + divide that dominates dynamic quantization
+    (bench_int8_parts, r2).  Out-of-range serving activations saturate at
+    +-127, the standard max-calibration trade."""
+    from image_enhance_keras_tpu.ops.resize import upsample_phase_tf1
+
+    scales: dict = {}
+
+    def amax(t):
+        return jnp.maximum(jnp.max(jnp.abs(t)), 1e-6) / 127.0
+
+    def l53(h, p, name):
+        a = jnp.maximum(_conv(h, p["conv_a1"]), 0.0)
+        b = jnp.maximum(_conv(h, p["conv_b1"]), 0.0)
+        scales[name] = jnp.stack([amax(h), amax(a), amax(b)])
+        a = _conv(a, p["conv_a2"])
+        b = _conv(b, p["conv_b2"])
+        return 0.9 * h + 0.1 * (a + b)
+
+    def light(h, p, name):
+        t = jnp.maximum(_conv(h, p["conv_a"]), 0.0)
+        scales[name] = jnp.stack([amax(h), amax(t)])
+        return h + 0.1 * _conv(t, p["conv_b"])
+
+    h = jnp.maximum(_conv(x.astype(jnp.float32), params["level1"]), 0.0)
+    for i in range(n_body53):
+        h = l53(h, params[f"body53_{i}"], f"body53_{i}")
+    for i in range(n_light):
+        h = light(h, params[f"light_{i}"], f"light_{i}")
+    h = upsample_phase_tf1(h, scale)
+    for i in range(n_tail53):
+        h = l53(h, params[f"tail53_{i}"], f"tail53_{i}")
+    return scales
+
+
 def quantize_didbl_params(
-    params: Any, n_body53: int = 16, n_light: int = 6, n_tail53: int = 2
+    params: Any,
+    n_body53: int = 16,
+    n_light: int = 6,
+    n_tail53: int = 2,
+    calib_x: jnp.ndarray | None = None,
+    scale: int = 4,
 ) -> Any:
     """One-time weight quantization: every residual-block conv becomes
     (int8 kernel, per-out-channel f32 scale, f32 bias); level1/out stay f32
-    (they are <0.1% of FLOPs and touch the raw image/output)."""
+    (they are <0.1% of FLOPs and touch the raw image/output).
+
+    ``calib_x``: optional (N, H, W, 3) [0,1] calibration input — when given,
+    per-block static activation scales are embedded (key "act") and the
+    kernels skip dynamic per-tile quantization."""
     import numpy as np
 
     from image_enhance_keras_tpu.ops.pallas.int8_blocks import (
@@ -155,15 +213,29 @@ def quantize_didbl_params(
         q, s = quantize_weights_per_channel(np.asarray(p["kernel"], np.float32))
         return {"q": q, "s": s, "bias": jnp.asarray(p["bias"], jnp.float32)}
 
+    act = (
+        calibrate_didbl_act_scales(
+            params, calib_x, n_body53=n_body53, n_light=n_light,
+            n_tail53=n_tail53, scale=scale,
+        )
+        if calib_x is not None
+        else {}
+    )
     out = {"level1": params["level1"], "out": params["out"]}
     for prefix, n in (("body53", n_body53), ("tail53", n_tail53)):
         for i in range(n):
-            blk = params[f"{prefix}_{i}"]
-            out[f"{prefix}_{i}"] = {k: qconv(blk[k]) for k in
-                                    ("conv_a1", "conv_a2", "conv_b1", "conv_b2")}
+            name = f"{prefix}_{i}"
+            blk = params[name]
+            out[name] = {k: qconv(blk[k]) for k in
+                         ("conv_a1", "conv_a2", "conv_b1", "conv_b2")}
+            if name in act:
+                out[name]["act"] = act[name]
     for i in range(n_light):
-        blk = params[f"light_{i}"]
-        out[f"light_{i}"] = {k: qconv(blk[k]) for k in ("conv_a", "conv_b")}
+        name = f"light_{i}"
+        blk = params[name]
+        out[name] = {k: qconv(blk[k]) for k in ("conv_a", "conv_b")}
+        if name in act:
+            out[name]["act"] = act[name]
     return out
 
 
@@ -177,6 +249,7 @@ def _light53_i8(x, p, tile, interpret):
         p["conv_b1"]["q"], p["conv_b1"]["s"], p["conv_b1"]["bias"],
         p["conv_b2"]["q"], p["conv_b2"]["s"], p["conv_b2"]["bias"],
         res_scale=0.1, identity_scale=0.9, tile=tile, interpret=interpret,
+        act_scales=p.get("act"),
     )
 
 
@@ -202,6 +275,7 @@ def apply_didbl_int8_body(
             p["conv_a"]["q"], p["conv_a"]["s"], p["conv_a"]["bias"],
             p["conv_b"]["q"], p["conv_b"]["s"], p["conv_b"]["bias"],
             res_scale=0.1, tile=tile, interpret=interpret,
+            act_scales=p.get("act"),
         )
     return h
 

@@ -69,10 +69,22 @@ def quantize_weights_per_channel(w) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _quantize(x_f32):
-    """symmetric int8 with the tensor's abs-max: (q_int8, scale_f32)."""
+    """symmetric int8 with the tensor's abs-max: (q_int8, scale_f32).
+
+    The abs-max is a full reduction over the window and the divide is
+    per-element — measured ~5x the cost of the conv dots themselves
+    (bench_int8_parts, r2).  Serving uses :func:`_quantize_static`."""
     amax = jnp.max(jnp.abs(x_f32))
     scale = jnp.maximum(amax, 1e-12) / 127.0
     q = jnp.clip(jnp.round(x_f32 / scale), -127.0, 127.0).astype(jnp.int8)
+    return q, scale
+
+
+def _quantize_static(x_f32, scale):
+    """symmetric int8 with a pre-calibrated scale: one fused mul+round+clip
+    pass, no reduction, no divide (the scalar reciprocal is per-tile)."""
+    inv = 1.0 / scale
+    q = jnp.clip(jnp.round(x_f32 * inv), -127.0, 127.0).astype(jnp.int8)
     return q, scale
 
 
@@ -130,19 +142,25 @@ def _dequant(acc_i32, sx, sw, bias):
 
 def _light53_int8_kernel(
     x_hbm,
+    act_ref,
     wa1, sa1, ba1, wa2, sa2, ba2,
     wb1, sb1, bb1, wb2, sb2, bb2,
     out_ref,
     xwin, sem,
-    *, th, tw, h_img, w_img, res_scale, identity_scale,
+    *, th, tw, h_img, w_img, res_scale, identity_scale, static_scales,
 ):
     # halo = 3 (first-conv radius + second-conv radius, max over branches)
     i, ty, tx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     _dma_window(x_hbm, xwin, sem, i, ty, tx, th, tw, halo=3)
     x = xwin[:].astype(jnp.float32)  # (th+6, tw+_win_pad(3), C)
 
+    def quant(t, idx):
+        if static_scales:
+            return _quantize_static(t, act_ref[idx])
+        return _quantize(t)
+
     ident = x[3 : 3 + th, 3 : 3 + tw, :].reshape(th * tw, -1)
-    xq, sx = _quantize(x)
+    xq, sx = quant(x, 0)
     r0, c0 = ty * th, tx * tw
 
     # branch a: conv3 VALID on the full window -> (th+4, tw+4) intermediate
@@ -150,7 +168,7 @@ def _light53_int8_kernel(
     # the image (the SAME chain's zero padding), requant, conv5 -> (th, tw).
     ta = _dequant(_conv_int8(xq, wa1[...], th + 4, tw + 4, 3), sx, sa1[...], ba1[...])
     ta = jnp.maximum(ta, 0.0) * _border_mask(th + 4, tw + 4, r0 - 2, c0 - 2, h_img, w_img)
-    taq, sta = _quantize(ta)
+    taq, sta = quant(ta, 1)
     a = _dequant(_conv_int8(taq, wa2[...], th, tw, 5), sta, sa2[...], ba2[...])
 
     # branch b: conv5 VALID on the full window -> (th+2, tw+2), mask,
@@ -159,7 +177,7 @@ def _light53_int8_kernel(
         _conv_int8(xq, wb1[...], th + 2, tw + 2, 5), sx, sb1[...], bb1[...]
     )
     tb = jnp.maximum(tb, 0.0) * _border_mask(th + 2, tw + 2, r0 - 1, c0 - 1, h_img, w_img)
-    tbq, stb = _quantize(tb)
+    tbq, stb = quant(tb, 2)
     b = _dequant(_conv_int8(tbq, wb2[...], th, tw, 3), stb, sb2[...], bb2[...])
 
     out = identity_scale * ident + res_scale * (a + b).reshape(th * tw, -1)
@@ -170,21 +188,26 @@ def _light53_int8_kernel(
 
 
 def _light_int8_kernel(
-    x_hbm, w1, s1, b1, w2, s2, b2, out_ref, xwin, sem,
-    *, th, tw, h_img, w_img, res_scale,
+    x_hbm, act_ref, w1, s1, b1, w2, s2, b2, out_ref, xwin, sem,
+    *, th, tw, h_img, w_img, res_scale, static_scales,
 ):
     # halo = 2 (two 3x3 convs)
     i, ty, tx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     _dma_window(x_hbm, xwin, sem, i, ty, tx, th, tw, halo=2)
     x = xwin[:].astype(jnp.float32)  # (th+4, tw+4, C)
 
+    def quant(t, idx):
+        if static_scales:
+            return _quantize_static(t, act_ref[idx])
+        return _quantize(t)
+
     ident = x[2 : 2 + th, 2 : 2 + tw, :].reshape(th * tw, -1)
-    xq, sx = _quantize(x)
+    xq, sx = quant(x, 0)
     r0, c0 = ty * th, tx * tw
 
     t = _dequant(_conv_int8(xq, w1[...], th + 2, tw + 2, 3), sx, s1[...], b1[...])
     t = jnp.maximum(t, 0.0) * _border_mask(th + 2, tw + 2, r0 - 1, c0 - 1, h_img, w_img)
-    tq, st = _quantize(t)
+    tq, st = quant(t, 1)
     u = _dequant(_conv_int8(tq, w2[...], th, tw, 3), st, s2[...], b2[...])
     out = ident + res_scale * u.reshape(th * tw, -1)
     out = out.reshape(th, tw, -1) * _border_mask(th, tw, r0, c0, h_img, w_img)
@@ -229,6 +252,10 @@ def _full(shape):
                         memory_space=pltpu.VMEM)
 
 
+def _smem_scales():
+    return pl.BlockSpec((4,), lambda i, j, k: (0,), memory_space=pltpu.SMEM)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("res_scale", "identity_scale", "tile", "interpret"),
@@ -241,6 +268,7 @@ def light53_int8(
     identity_scale: float = 0.9,
     tile: tuple[int, int] = (64, 128),
     interpret: bool | None = None,
+    act_scales=None,
 ):
     """Fused int8 Light53 block over spatial tiles.
 
@@ -248,17 +276,29 @@ def light53_int8(
     :func:`quantize_weights_per_channel`.  H/W are tiled by divisors of
     ``tile`` (halo'd windows DMA'd from HBM); results match the whole-image
     SAME chain up to quantization noise for ANY tile split.
+
+    ``act_scales``: optional (3,) f32 pre-calibrated activation scales
+    (input, branch-a intermediate, branch-b intermediate) — the serving
+    path (didbl_pallas.calibrate_didbl_act_scales); omitting them falls
+    back to per-tile dynamic abs-max quantization (~5x the VPU cost).
     """
     if interpret is None:
         interpret = _interpret_default()
     n, h, w, c = x.shape
     halo = 3
+    static = act_scales is not None
+    act = (
+        jnp.concatenate([act_scales.astype(jnp.float32), jnp.ones((1,), jnp.float32)])
+        if static
+        else jnp.ones((4,), jnp.float32)
+    )
     xp, h8, w8 = _pad_for_grid(x, halo)
     th = _pick_tile(h8, tile[0])
     tw = _pick_tile(w8, tile[1])
     kernel = functools.partial(
         _light53_int8_kernel, th=th, tw=tw, h_img=h, w_img=w,
         res_scale=res_scale, identity_scale=identity_scale,
+        static_scales=static,
     )
     conv_specs = [
         _full((3, 3, c, c)), _full((c,)), _full((c,)),
@@ -270,7 +310,8 @@ def light53_int8(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h8, w8, c), x.dtype),
         grid=(n, h8 // th, w8 // tw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + conv_specs,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), _smem_scales()]
+        + conv_specs,
         out_specs=pl.BlockSpec(
             (1, th, tw, c), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM
         ),
@@ -283,7 +324,7 @@ def light53_int8(
         ),
         interpret=interpret,
     )(
-        xp,
+        xp, act,
         wa1q, sa1, ba1.astype(jnp.float32), wa2q, sa2, ba2.astype(jnp.float32),
         wb1q, sb1, bb1.astype(jnp.float32), wb2q, sb2, bb2.astype(jnp.float32),
     )
@@ -296,23 +337,34 @@ def light_int8(
     res_scale: float = 0.1,
     tile: tuple[int, int] = (64, 128),
     interpret: bool | None = None,
+    act_scales=None,
 ):
-    """Fused int8 Light block over spatial tiles (conv3-relu-conv3 residual)."""
+    """Fused int8 Light block over spatial tiles (conv3-relu-conv3 residual).
+
+    ``act_scales``: optional (2,) f32 calibrated scales (input,
+    intermediate); None -> dynamic per-tile abs-max quantization."""
     if interpret is None:
         interpret = _interpret_default()
     n, h, w, c = x.shape
     halo = 2
+    static = act_scales is not None
+    act = (
+        jnp.concatenate([act_scales.astype(jnp.float32), jnp.ones((2,), jnp.float32)])
+        if static
+        else jnp.ones((4,), jnp.float32)
+    )
     xp, h8, w8 = _pad_for_grid(x, halo)
     th = _pick_tile(h8, tile[0])
     tw = _pick_tile(w8, tile[1])
     kernel = functools.partial(
-        _light_int8_kernel, th=th, tw=tw, h_img=h, w_img=w, res_scale=res_scale
+        _light_int8_kernel, th=th, tw=tw, h_img=h, w_img=w,
+        res_scale=res_scale, static_scales=static,
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h8, w8, c), x.dtype),
         grid=(n, h8 // th, w8 // tw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), _smem_scales()]
         + [_full((3, 3, c, c)), _full((c,)), _full((c,)),
            _full((3, 3, c, c)), _full((c,)), _full((c,))],
         out_specs=pl.BlockSpec(
@@ -326,5 +378,5 @@ def light_int8(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(xp, w1q, s1, b1.astype(jnp.float32), w2q, s2, b2.astype(jnp.float32))
+    )(xp, act, w1q, s1, b1.astype(jnp.float32), w2q, s2, b2.astype(jnp.float32))
     return out[:, :h, :w, :]

@@ -129,3 +129,32 @@ def test_full_int8_forward_runs_and_tracks_f32():
     # int8 quantization noise at image scale [0,1]: well under 1/255
     assert np.abs(got - want).mean() < 2e-3
     assert np.abs(got - want).max() < 2e-2
+
+
+def test_full_int8_forward_with_static_calibrated_scales():
+    """calib_x embeds per-block activation scales ("act"); the static-scale
+    kernels must track f32 as closely as dynamic quantization."""
+    from image_enhance_keras_tpu.models import init_params
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+    from image_enhance_keras_tpu.models.didbl_pallas import (
+        quantize_didbl_params,
+        apply_didbl_int8,
+    )
+
+    module = DifvdsrDouble(features=128, n_body53=1, n_light=1, n_tail53=1)
+    params = init_params(module, jax.random.PRNGKey(0), input_hw=(8, 8))
+    rng = np.random.default_rng(4)
+    calib = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    qp = quantize_didbl_params(
+        params, n_body53=1, n_light=1, n_tail53=1, calib_x=calib
+    )
+    assert "act" in qp["body53_0"] and qp["body53_0"]["act"].shape == (3,)
+    assert qp["light_0"]["act"].shape == (2,)
+    x = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+    want = np.asarray(module.apply({"params": params}, x))
+    got = np.asarray(
+        apply_didbl_int8(qp, x, n_body53=1, n_light=1, n_tail53=1,
+                         tile=(8, 8), interpret=True)
+    )
+    assert np.abs(got - want).mean() < 2e-3
+    assert np.abs(got - want).max() < 2e-2

@@ -8,7 +8,8 @@ Measures sustained on-device throughput of the production modes:
   * patch  — overlapped-tile pipelines: perf geometry (192/176/8) and the
              reference-exact 96/64/8 (models.py:184-416) with its inherent
              2.85x overlap redundancy at 512^2 (speed-of-light 9.9 Mpix/s);
-  * int8   — fast mode over the Pallas int8 kernels (2x MXU rate;
+  * int8   — fast/split modes over XLA's native-rate int8 convs
+             (374.5 TFLOP/s = 95% of the 394 TOPS peak, 2.0x bf16;
              quality delta measured in EVAL_PROFILES.json).
 
 Timing hygiene for the relay-attached chip: iterations are *chained* (each
@@ -18,12 +19,14 @@ Large outputs stay HBM-resident (the relay moves device->host at ~0.1MB/s).
 
 Baseline (BASELINE.json): ">100 megapixels/sec of end-to-end x4 inference on
 a single v5e-8" = 12.5 out-Mpix/s per chip.  vs_baseline = value / 12.5.
-``value`` is the bf16 production serving mode (max of fast/split).
+``value`` is the best quality-gated serving mode (max of fast/split/
+int8_fast/int8_split).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs: IEK_BENCH_SIZE (512), IEK_BENCH_BATCH (4), IEK_BENCH_ITERS (3),
-IEK_BENCH_MODES (fast,split,patch_perf,patch_ref,int8_fast),
+IEK_BENCH_MODES (fast,split,patch_perf,patch_ref,int8_fast,int8_split;
+    also int8_pallas),
 IEK_BENCH_GLOBAL_TIMEOUT (1700s watchdog that emits whatever is measured).
 """
 
@@ -45,9 +48,14 @@ _DONE = threading.Event()
 
 def _emit_and_exit():
     size = int(os.environ.get("IEK_BENCH_SIZE", "512"))
-    fast = RESULTS.get("fast", 0.0)
-    split = RESULTS.get("split", 0.0)
-    value = max(fast, split)
+    # headline = best production serving mode; int8 qualifies because its
+    # quality gate passed (EVAL_PROFILES.json: SSIM-Y delta 0.0004 <= 0.003)
+    value = max(
+        RESULTS.get("fast", 0.0),
+        RESULTS.get("split", 0.0),
+        RESULTS.get("int8_fast", 0.0),
+        RESULTS.get("int8_split", 0.0),
+    )
     parts = ", ".join(f"{k} {v:.1f}" for k, v in RESULTS.items())
     note = "" if _DONE.is_set() else " [watchdog: partial results]"
     print(
@@ -55,7 +63,7 @@ def _emit_and_exit():
             {
                 "metric": (
                     f"didbl x4 end-to-end on-device out-Mpix/s/chip, {size}^2 "
-                    f"uint8 frames, bf16 (int8_fast = Pallas int8 kernels): "
+                    f"uint8 frames, bf16 (int8 = XLA native-rate int8 convs): "
                     f"{parts or 'nothing measured'}; baseline 100 Mpix/s on "
                     f"v5e-8 = 12.5/chip{note}"
                 ),
@@ -86,7 +94,7 @@ def main() -> int:
     batch = int(os.environ.get("IEK_BENCH_BATCH", "4"))
     iters = int(os.environ.get("IEK_BENCH_ITERS", "3"))
     modes = os.environ.get(
-        "IEK_BENCH_MODES", "fast,split,patch_perf,patch_ref,int8_fast"
+        "IEK_BENCH_MODES", "fast,split,patch_perf,patch_ref,int8_fast,int8_split"
     ).split(",")
 
     rng = np.random.default_rng(0)
@@ -134,6 +142,18 @@ def main() -> int:
                                   geometry="ref", params=shared_params)
                 inner, p = r._pipeline_for(r.plan_for(size, size)), r.params
             elif mode == "int8_fast":
+                # XLA native-rate int8 convs (374.5 TFLOP/s measured = 95% of
+                # the 394 TOPS peak); 'int8_pallas' keeps the Mosaic kernels
+                # for comparison (their dots run at the bf16 rate).
+                r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="fast",
+                                  forward="int8", params=shared_params)
+                inner, p = r._fast_fn((size, size)), r._fwd_params()
+            elif mode == "int8_split":
+                r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="split",
+                                  forward="int8", split_tile=128,
+                                  params=shared_params)
+                inner, p = r._split_fn((size, size)), r._fwd_params()
+            elif mode == "int8_pallas":
                 r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="fast",
                                   forward="pallas_int8", params=shared_params)
                 inner, p = r._fast_fn((size, size)), r._fwd_params()

@@ -32,7 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "forward; split: whole-frame body + halo-striped tail "
                         "(bit-identical to fast, bounded memory — the serving default)")
     p.add_argument("--forward", default="xla",
-                   choices=["xla", "pallas", "pallas_chain", "pallas_int8"],
+                   choices=["xla", "int8", "pallas", "pallas_chain", "pallas_int8"],
                    help="conv tower execution path (pallas = fused VMEM "
                         "kernels; pallas_int8 = quantized 2x-rate MXU serving)")
     p.add_argument("--save_intermediate", default=False, action="store_true")

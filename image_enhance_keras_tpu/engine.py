@@ -90,8 +90,12 @@ class SuperResolver:
         self.module, self.spec = get_model(model, dtype=dtype)
         self._dtype = dtype
         self.forward_mode = forward
-        if forward.startswith("pallas") and not model.startswith("didbl"):
-            raise ValueError("pallas forward is implemented for the didbl family")
+        if (
+            forward.startswith("pallas") or forward == "int8"
+        ) and not model.startswith("didbl"):
+            raise ValueError(
+                "pallas/int8 forwards are implemented for the didbl family"
+            )
         if geometry is not None:
             patch, step, crop = TILE_GEOMETRIES[geometry]
         self.patch = patch
@@ -205,13 +209,17 @@ class SuperResolver:
         """params, (N,h,w,3)[0,1] -> (N,sh,sw,3): XLA flax apply or the
         Pallas-fused didbl forward (same param tree, same math)."""
         mode = getattr(self, "forward_mode", "xla")
-        if mode == "pallas_int8":
-            from image_enhance_keras_tpu.models.didbl_pallas import apply_didbl_int8
+        if mode in ("int8", "pallas_int8"):
+            from image_enhance_keras_tpu.models.didbl_pallas import (
+                apply_didbl_int8,
+                apply_didbl_int8_xla,
+            )
 
             m = self.module
             if getattr(m, "upsampler", "tf1_bilinear") != "tf1_bilinear":
-                raise ValueError("pallas_int8 supports the tf1_bilinear head")
-            return lambda qp, b: apply_didbl_int8(
+                raise ValueError("int8 forwards support the tf1_bilinear head")
+            apply = apply_didbl_int8_xla if mode == "int8" else apply_didbl_int8
+            return lambda qp, b: apply(
                 qp, b,
                 n_body53=m.n_body53, n_light=m.n_light, n_tail53=m.n_tail53,
                 scale=m.scale,
@@ -236,7 +244,7 @@ class SuperResolver:
     def _fwd_params(self):
         """Params tree fed to the forward: raw flax params, or (for the int8
         serving profile) the one-time per-channel-quantized tree."""
-        if getattr(self, "forward_mode", "xla") != "pallas_int8":
+        if getattr(self, "forward_mode", "xla") not in ("int8", "pallas_int8"):
             return self.params
         qp = getattr(self, "_qparams", None)
         if qp is None:
@@ -349,24 +357,19 @@ class SuperResolver:
                 {"params": p}, h, method=tail_method
             )
             return body_fn, tail_fn
-        if fm == "pallas_int8":
-            from image_enhance_keras_tpu.models.didbl_pallas import (
-                apply_didbl_int8_body,
-                apply_didbl_int8_tail,
-            )
+        if fm in ("int8", "pallas_int8"):
+            from image_enhance_keras_tpu.models import didbl_pallas as dp
 
             m = module
             if getattr(m, "upsampler", "tf1_bilinear") != "tf1_bilinear":
-                raise ValueError("pallas_int8 supports the tf1_bilinear head")
-            body_fn = lambda qp, x: apply_didbl_int8_body(
-                qp, x, n_body53=m.n_body53, n_light=m.n_light
-            )
-            tail_fn = lambda qp, h: apply_didbl_int8_tail(
-                qp, h, n_tail53=m.n_tail53, scale=m.scale
-            )
+                raise ValueError("int8 forwards support the tf1_bilinear head")
+            body = dp.apply_didbl_int8_xla_body if fm == "int8" else dp.apply_didbl_int8_body
+            tail = dp.apply_didbl_int8_xla_tail if fm == "int8" else dp.apply_didbl_int8_tail
+            body_fn = lambda qp, x: body(qp, x, n_body53=m.n_body53, n_light=m.n_light)
+            tail_fn = lambda qp, h: tail(qp, h, n_tail53=m.n_tail53, scale=m.scale)
             return body_fn, tail_fn
         raise ValueError(
-            f"mode='split' supports the xla and pallas_int8 forwards, not {fm!r}"
+            f"mode='split' supports the xla/int8/pallas_int8 forwards, not {fm!r}"
         )
 
     def _split_fn(self, hw):

@@ -31,6 +31,9 @@ __all__ = [
     "apply_didbl_int8",
     "apply_didbl_int8_body",
     "apply_didbl_int8_tail",
+    "apply_didbl_int8_xla",
+    "apply_didbl_int8_xla_body",
+    "apply_didbl_int8_xla_tail",
 ]
 
 
@@ -251,6 +254,101 @@ def _light53_i8(x, p, tile, interpret):
         res_scale=0.1, identity_scale=0.9, tile=tile, interpret=interpret,
         act_scales=p.get("act"),
     )
+
+
+# -- XLA int8 forward ---------------------------------------------------
+# Measured on v5e (bench_xla_int8, slope method): XLA's conv lowering runs
+# s8 x s8 -> s32 convs at 374.5 TFLOP/s = 95% of the 394 TOPS int8 peak and
+# 2.0x the bf16 rate, while Mosaic's dot_general stays at the bf16 rate
+# (109.7 TFLOP/s in the Pallas kernels).  The serving int8 path is therefore
+# plain XLA convs over quantized tensors; quant/dequant elementwise ops fuse
+# into the conv epilogues.  Requires calibrated static scales ("act").
+
+def _quant_s(x, s):
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / s)), -127.0, 127.0
+                    ).astype(jnp.int8)
+
+
+def _qconv_xla(xq, wq):
+    return lax.conv_general_dilated(
+        xq, wq, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _deq(acc, s_in, p):
+    return acc.astype(jnp.float32) * (s_in * p["s"]) + p["bias"]
+
+
+def _light53_i8_xla(x, p):
+    act = p["act"]
+    xq = _quant_s(x, act[0])
+    a = jnp.maximum(_deq(_qconv_xla(xq, p["conv_a1"]["q"]), act[0], p["conv_a1"]), 0.0)
+    a = _deq(_qconv_xla(_quant_s(a, act[1]), p["conv_a2"]["q"]), act[1], p["conv_a2"])
+    b = jnp.maximum(_deq(_qconv_xla(xq, p["conv_b1"]["q"]), act[0], p["conv_b1"]), 0.0)
+    b = _deq(_qconv_xla(_quant_s(b, act[2]), p["conv_b2"]["q"]), act[2], p["conv_b2"])
+    return (0.9 * x.astype(jnp.float32) + 0.1 * (a + b)).astype(x.dtype)
+
+
+def _light_i8_xla(x, p):
+    act = p["act"]
+    t = jnp.maximum(
+        _deq(_qconv_xla(_quant_s(x, act[0]), p["conv_a"]["q"]), act[0], p["conv_a"]),
+        0.0,
+    )
+    u = _deq(_qconv_xla(_quant_s(t, act[1]), p["conv_b"]["q"]), act[1], p["conv_b"])
+    return (x.astype(jnp.float32) + 0.1 * u).astype(x.dtype)
+
+
+def _require_act(qparams):
+    if "act" not in qparams.get("body53_0", {}):
+        raise ValueError(
+            "forward='int8' needs calibrated activation scales: quantize with "
+            "quantize_didbl_params(..., calib_x=...)"
+        )
+
+
+def apply_didbl_int8_xla_body(
+    qparams: Any, x: jnp.ndarray, n_body53: int = 16, n_light: int = 6
+) -> jnp.ndarray:
+    """XLA-int8 pre-upsample tower (mirrors DifvdsrDouble.body)."""
+    _require_act(qparams)
+    h = x.astype(jnp.bfloat16)
+    h = jnp.maximum(_conv(h, qparams["level1"]), 0.0)
+    for i in range(n_body53):
+        h = _light53_i8_xla(h, qparams[f"body53_{i}"])
+    for i in range(n_light):
+        h = _light_i8_xla(h, qparams[f"light_{i}"])
+    return h
+
+
+def apply_didbl_int8_xla_tail(
+    qparams: Any, h: jnp.ndarray, n_tail53: int = 2, scale: int = 4
+) -> jnp.ndarray:
+    """XLA-int8 x4 upsample + post-upsample blocks + out conv."""
+    from image_enhance_keras_tpu.ops.resize import upsample_phase_tf1
+
+    h = upsample_phase_tf1(h.astype(jnp.bfloat16), scale)
+    for i in range(n_tail53):
+        h = _light53_i8_xla(h, qparams[f"tail53_{i}"])
+    out = _conv(h, qparams["out"])
+    return jnp.maximum(out, 0.0).astype(jnp.float32)
+
+
+def apply_didbl_int8_xla(
+    qparams: Any,
+    x: jnp.ndarray,
+    n_body53: int = 16,
+    n_light: int = 6,
+    n_tail53: int = 2,
+    scale: int = 4,
+) -> jnp.ndarray:
+    """(N, H, W, 3) [0,1] -> (N, 4H, 4W, 3): the didbl graph with every
+    residual-block conv on XLA's native-rate int8 path (2.0x bf16 measured);
+    identity/skip paths stay unquantized, same scheme as the Pallas kernels
+    (quality gate: EVAL_PROFILES.json)."""
+    h = apply_didbl_int8_xla_body(qparams, x, n_body53=n_body53, n_light=n_light)
+    return apply_didbl_int8_xla_tail(qparams, h, n_tail53=n_tail53, scale=scale)
 
 
 def apply_didbl_int8_body(

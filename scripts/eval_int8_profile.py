@@ -40,7 +40,8 @@ def main() -> int:
     profiles = {
         "f32_fast": dict(dtype=None, forward="xla"),
         "bf16_fast": dict(dtype=jnp.bfloat16, forward="xla"),
-        "int8_fast": dict(dtype=jnp.bfloat16, forward="pallas_int8"),
+        "int8_fast": dict(dtype=jnp.bfloat16, forward="int8"),
+        "int8_pallas_fast": dict(dtype=jnp.bfloat16, forward="pallas_int8"),
     }
     path = "EVAL_PROFILES.json"
     results = json.load(open(path)) if os.path.exists(path) else {}

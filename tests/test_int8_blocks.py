@@ -158,3 +158,45 @@ def test_full_int8_forward_with_static_calibrated_scales():
     )
     assert np.abs(got - want).mean() < 2e-3
     assert np.abs(got - want).max() < 2e-2
+
+
+def test_xla_int8_forward_tracks_f32():
+    """forward='int8' (XLA native-rate conv path, 2x bf16 measured on v5e)
+    must track the f32 module like the Pallas int8 path."""
+    from image_enhance_keras_tpu.models import init_params
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+    from image_enhance_keras_tpu.models.didbl_pallas import (
+        quantize_didbl_params,
+        apply_didbl_int8_xla,
+    )
+
+    module = DifvdsrDouble(features=128, n_body53=1, n_light=1, n_tail53=1)
+    params = init_params(module, jax.random.PRNGKey(0), input_hw=(8, 8))
+    rng = np.random.default_rng(5)
+    calib = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    qp = quantize_didbl_params(
+        params, n_body53=1, n_light=1, n_tail53=1, calib_x=calib
+    )
+    x = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+    want = np.asarray(module.apply({"params": params}, x))
+    got = np.asarray(apply_didbl_int8_xla(qp, x, n_body53=1, n_light=1, n_tail53=1))
+    assert got.shape == want.shape
+    assert np.abs(got - want).mean() < 2e-3
+    assert np.abs(got - want).max() < 2e-2
+
+
+def test_xla_int8_requires_calibration():
+    import pytest
+    from image_enhance_keras_tpu.models import init_params
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+    from image_enhance_keras_tpu.models.didbl_pallas import (
+        quantize_didbl_params,
+        apply_didbl_int8_xla,
+    )
+
+    module = DifvdsrDouble(features=16, n_body53=1, n_light=1, n_tail53=1)
+    params = init_params(module, jax.random.PRNGKey(0), input_hw=(8, 8))
+    qp = quantize_didbl_params(params, n_body53=1, n_light=1, n_tail53=1)
+    with pytest.raises(ValueError, match="calib"):
+        apply_didbl_int8_xla(qp, jnp.zeros((1, 8, 8, 3)),
+                             n_body53=1, n_light=1, n_tail53=1)

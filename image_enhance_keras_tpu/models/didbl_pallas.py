@@ -150,6 +150,8 @@ def calibrate_didbl_act_scales(
     n_light: int = 6,
     n_tail53: int = 2,
     scale: int = 4,
+    margin: float = 1.0,
+    per_channel: bool = False,
 ) -> dict:
     """Post-training activation calibration for the int8 serving path.
 
@@ -157,27 +159,36 @@ def calibrate_didbl_act_scales(
     records the abs-max at every quantization point (block input + each
     branch's post-relu intermediate).  Returns {block_name: (k,) f32 int8
     scales} the kernels consume as static scales — removing the per-tile
-    abs-max reduction + divide that dominates dynamic quantization
-    (bench_int8_parts, r2).  Out-of-range serving activations saturate at
-    +-127, the standard max-calibration trade."""
+    abs-max reduction + divide of dynamic quantization.
+
+    ``per_channel=True`` records (C,) abs-max vectors per quantization
+    point instead of scalars.  Measured (r2): per-tensor static scales
+    lose resolution vs dynamic per-tile (SSIM-Y delta 0.0034 vs 0.0004;
+    a 1.25 margin made it worse, 0.0063 — the error is quantization step
+    size, not clipping); per-channel restores the resolution and folds
+    into the weights at zero runtime cost (see quantize_didbl_params)."""
     from image_enhance_keras_tpu.ops.resize import upsample_phase_tf1
 
     scales: dict = {}
 
     def amax(t):
-        return jnp.maximum(jnp.max(jnp.abs(t)), 1e-6) / 127.0
+        if per_channel:
+            m = jnp.max(jnp.abs(t), axis=tuple(range(t.ndim - 1)))
+        else:
+            m = jnp.max(jnp.abs(t))
+        return jnp.maximum(m, 1e-6) * (margin / 127.0)
 
     def l53(h, p, name):
         a = jnp.maximum(_conv(h, p["conv_a1"]), 0.0)
         b = jnp.maximum(_conv(h, p["conv_b1"]), 0.0)
-        scales[name] = jnp.stack([amax(h), amax(a), amax(b)])
+        scales[name] = {"x": amax(h), "a": amax(a), "b": amax(b)}
         a = _conv(a, p["conv_a2"])
         b = _conv(b, p["conv_b2"])
         return 0.9 * h + 0.1 * (a + b)
 
     def light(h, p, name):
         t = jnp.maximum(_conv(h, p["conv_a"]), 0.0)
-        scales[name] = jnp.stack([amax(h), amax(t)])
+        scales[name] = {"x": amax(h), "t": amax(t)}
         return h + 0.1 * _conv(t, p["conv_b"])
 
     h = jnp.maximum(_conv(x.astype(jnp.float32), params["level1"]), 0.0)
@@ -204,8 +215,12 @@ def quantize_didbl_params(
     (they are <0.1% of FLOPs and touch the raw image/output).
 
     ``calib_x``: optional (N, H, W, 3) [0,1] calibration input — when given,
-    per-block static activation scales are embedded (key "act") and the
-    kernels skip dynamic per-tile quantization."""
+    per-block static activation scales are embedded:
+      * "act"  — per-tensor scalars (stacked) for the Pallas kernels;
+      * "actc" — per-CHANNEL (C,) vectors for the XLA int8 path, with the
+        input-channel scales FOLDED into extra weight copies ("qf"/"sf"):
+        conv(x, w) = conv(x/s_c, w * s_c) elementwise over cin, so runtime
+        quantization is one per-channel mul and dequant stays per-cout."""
     import numpy as np
 
     from image_enhance_keras_tpu.ops.pallas.int8_blocks import (
@@ -216,10 +231,15 @@ def quantize_didbl_params(
         q, s = quantize_weights_per_channel(np.asarray(p["kernel"], np.float32))
         return {"q": q, "s": s, "bias": jnp.asarray(p["bias"], jnp.float32)}
 
-    act = (
+    def fold(entry, p, s_in):
+        w = np.asarray(p["kernel"], np.float32) * np.asarray(s_in)[None, None, :, None]
+        qf, sf = quantize_weights_per_channel(w)
+        entry["qf"], entry["sf"] = qf, sf
+
+    actc = (
         calibrate_didbl_act_scales(
             params, calib_x, n_body53=n_body53, n_light=n_light,
-            n_tail53=n_tail53, scale=scale,
+            n_tail53=n_tail53, scale=scale, per_channel=True,
         )
         if calib_x is not None
         else {}
@@ -231,14 +251,26 @@ def quantize_didbl_params(
             blk = params[name]
             out[name] = {k: qconv(blk[k]) for k in
                          ("conv_a1", "conv_a2", "conv_b1", "conv_b2")}
-            if name in act:
-                out[name]["act"] = act[name]
+            if name in actc:
+                sc = actc[name]
+                out[name]["actc"] = sc
+                out[name]["act"] = jnp.stack(
+                    [jnp.max(sc["x"]), jnp.max(sc["a"]), jnp.max(sc["b"])]
+                )
+                fold(out[name]["conv_a1"], blk["conv_a1"], sc["x"])
+                fold(out[name]["conv_a2"], blk["conv_a2"], sc["a"])
+                fold(out[name]["conv_b1"], blk["conv_b1"], sc["x"])
+                fold(out[name]["conv_b2"], blk["conv_b2"], sc["b"])
     for i in range(n_light):
         name = f"light_{i}"
         blk = params[name]
         out[name] = {k: qconv(blk[k]) for k in ("conv_a", "conv_b")}
-        if name in act:
-            out[name]["act"] = act[name]
+        if name in actc:
+            sc = actc[name]
+            out[name]["actc"] = sc
+            out[name]["act"] = jnp.stack([jnp.max(sc["x"]), jnp.max(sc["t"])])
+            fold(out[name]["conv_a"], blk["conv_a"], sc["x"])
+            fold(out[name]["conv_b"], blk["conv_b"], sc["t"])
     return out
 
 
@@ -264,8 +296,9 @@ def _light53_i8(x, p, tile, interpret):
 # plain XLA convs over quantized tensors; quant/dequant elementwise ops fuse
 # into the conv epilogues.  Requires calibrated static scales ("act").
 
-def _quant_s(x, s):
-    return jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / s)), -127.0, 127.0
+def _quant_c(x, s_c):
+    """per-channel symmetric int8: s_c is the (C,) calibrated scale vector."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / s_c)), -127.0, 127.0
                     ).astype(jnp.int8)
 
 
@@ -276,32 +309,33 @@ def _qconv_xla(xq, wq):
     )
 
 
-def _deq(acc, s_in, p):
-    return acc.astype(jnp.float32) * (s_in * p["s"]) + p["bias"]
+def _deqf(acc, p):
+    """dequant a conv over input-scale-FOLDED weights: per-cout only."""
+    return acc.astype(jnp.float32) * p["sf"] + p["bias"]
 
 
 def _light53_i8_xla(x, p):
-    act = p["act"]
-    xq = _quant_s(x, act[0])
-    a = jnp.maximum(_deq(_qconv_xla(xq, p["conv_a1"]["q"]), act[0], p["conv_a1"]), 0.0)
-    a = _deq(_qconv_xla(_quant_s(a, act[1]), p["conv_a2"]["q"]), act[1], p["conv_a2"])
-    b = jnp.maximum(_deq(_qconv_xla(xq, p["conv_b1"]["q"]), act[0], p["conv_b1"]), 0.0)
-    b = _deq(_qconv_xla(_quant_s(b, act[2]), p["conv_b2"]["q"]), act[2], p["conv_b2"])
+    sc = p["actc"]
+    xq = _quant_c(x, sc["x"])
+    a = jnp.maximum(_deqf(_qconv_xla(xq, p["conv_a1"]["qf"]), p["conv_a1"]), 0.0)
+    a = _deqf(_qconv_xla(_quant_c(a, sc["a"]), p["conv_a2"]["qf"]), p["conv_a2"])
+    b = jnp.maximum(_deqf(_qconv_xla(xq, p["conv_b1"]["qf"]), p["conv_b1"]), 0.0)
+    b = _deqf(_qconv_xla(_quant_c(b, sc["b"]), p["conv_b2"]["qf"]), p["conv_b2"])
     return (0.9 * x.astype(jnp.float32) + 0.1 * (a + b)).astype(x.dtype)
 
 
 def _light_i8_xla(x, p):
-    act = p["act"]
+    sc = p["actc"]
     t = jnp.maximum(
-        _deq(_qconv_xla(_quant_s(x, act[0]), p["conv_a"]["q"]), act[0], p["conv_a"]),
+        _deqf(_qconv_xla(_quant_c(x, sc["x"]), p["conv_a"]["qf"]), p["conv_a"]),
         0.0,
     )
-    u = _deq(_qconv_xla(_quant_s(t, act[1]), p["conv_b"]["q"]), act[1], p["conv_b"])
+    u = _deqf(_qconv_xla(_quant_c(t, sc["t"]), p["conv_b"]["qf"]), p["conv_b"])
     return (x.astype(jnp.float32) + 0.1 * u).astype(x.dtype)
 
 
 def _require_act(qparams):
-    if "act" not in qparams.get("body53_0", {}):
+    if "actc" not in qparams.get("body53_0", {}):
         raise ValueError(
             "forward='int8' needs calibrated activation scales: quantize with "
             "quantize_didbl_params(..., calib_x=...)"

@@ -241,12 +241,17 @@ class SuperResolver:
         module = self.module
         return lambda params, b: module.apply({"params": params}, b)
 
+    #: int8 calibration source: "synthetic" (default — 4 deterministic
+    #: procedural tiles; measured SSIM-Y delta 0.0026 on the mixed-content
+    #: gate) or "first_frame" (central crop of the first frame served —
+    #: tighter when the stream is homogeneous, but measured WORSE, 0.0056,
+    #: when content varies: scales fitted to frame 1 mis-serve the rest).
+    int8_calib: str = "synthetic"
+
     def _maybe_calibrate_int8(self, img_u8: np.ndarray) -> None:
-        """First-frame int8 calibration: quantization scales computed from a
-        central crop of the first REAL frame match the serving distribution
-        better than the synthetic-tile fallback (measured: per-channel
-        synthetic calib scores SSIM-Y delta 0.0026; real-content calibration
-        tightens it further).  One-time; later frames reuse the scales."""
+        """Optional first-frame int8 calibration (``int8_calib``)."""
+        if getattr(self, "int8_calib", "synthetic") != "first_frame":
+            return
         if getattr(self, "forward_mode", "xla") not in ("int8", "pallas_int8"):
             return
         if getattr(self, "_qparams", None) is not None:

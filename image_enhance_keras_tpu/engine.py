@@ -90,12 +90,13 @@ class SuperResolver:
         self.module, self.spec = get_model(model, dtype=dtype)
         self._dtype = dtype
         self.forward_mode = forward
-        if (
-            forward.startswith("pallas") or forward == "int8"
-        ) and not model.startswith("didbl"):
-            raise ValueError(
-                "pallas/int8 forwards are implemented for the didbl family"
-            )
+        if forward.startswith("pallas") and not model.startswith("didbl"):
+            raise ValueError("pallas forwards are implemented for the didbl family")
+        if forward == "int8":
+            from image_enhance_keras_tpu.models.zoo_int8 import int8_support
+
+            if int8_support(self.module) is None:
+                raise ValueError(f"forward='int8' is not available for {model!r}")
         if geometry is not None:
             patch, step, crop = TILE_GEOMETRIES[geometry]
         self.patch = patch
@@ -209,17 +210,22 @@ class SuperResolver:
         """params, (N,h,w,3)[0,1] -> (N,sh,sw,3): XLA flax apply or the
         Pallas-fused didbl forward (same param tree, same math)."""
         mode = getattr(self, "forward_mode", "xla")
-        if mode in ("int8", "pallas_int8"):
-            from image_enhance_keras_tpu.models.didbl_pallas import (
-                apply_didbl_int8,
-                apply_didbl_int8_xla,
-            )
+        if mode == "int8":
+            from image_enhance_keras_tpu.models.zoo_int8 import int8_support
+
+            sup = int8_support(self.module)
+            if sup is None:
+                raise ValueError(
+                    f"forward='int8' is not available for {self.model_name!r}"
+                )
+            return sup[1]
+        if mode == "pallas_int8":
+            from image_enhance_keras_tpu.models.didbl_pallas import apply_didbl_int8
 
             m = self.module
             if getattr(m, "upsampler", "tf1_bilinear") != "tf1_bilinear":
-                raise ValueError("int8 forwards support the tf1_bilinear head")
-            apply = apply_didbl_int8_xla if mode == "int8" else apply_didbl_int8
-            return lambda qp, b: apply(
+                raise ValueError("pallas_int8 supports the tf1_bilinear head")
+            return lambda qp, b: apply_didbl_int8(
                 qp, b,
                 n_body53=m.n_body53, n_light=m.n_light, n_tail53=m.n_tail53,
                 scale=m.scale,
@@ -269,27 +275,39 @@ class SuperResolver:
             return self.params
         qp = getattr(self, "_qparams", None)
         if qp is None:
-            from image_enhance_keras_tpu.models.didbl_pallas import (
-                quantize_didbl_params,
-            )
             from image_enhance_keras_tpu.data.pipeline import synthetic_images
 
-            # activation scales: first-frame crop when upscale() has seen an
-            # image (_maybe_calibrate_int8), else deterministic synthetic
-            # tiles; recalibrate any time via quantize_didbl_params(calib_x=)
-            m = self.module
+            # activation scales: first-frame crop when enabled and upscale()
+            # has seen an image (_maybe_calibrate_int8), else deterministic
+            # synthetic tiles; recalibrate any time via the quantize_* APIs
             calib = getattr(self, "_calib_x", None)
             if calib is None:
                 calib = (
                     jnp.asarray(np.stack(synthetic_images(4, 128)), jnp.float32)
                     / 255.0
                 )
-            qp = jax.device_put(
-                quantize_didbl_params(
-                    self.params, n_body53=m.n_body53, n_light=m.n_light,
-                    n_tail53=m.n_tail53, calib_x=calib, scale=m.scale,
+            if self.spec.pre_upscaled_input:
+                # difvdsr family consumes a bicubic-upscaled input; mimic the
+                # serving distribution with a bicubic down/up round-trip
+                lr = resize_pil_uint8(calib[0] * 255.0, (32, 32))
+                calib = resize_pil_uint8(lr, (128, 128))[None] / 255.0
+            if getattr(self, "forward_mode", "xla") == "int8":
+                from image_enhance_keras_tpu.models.zoo_int8 import int8_support
+
+                quantize = int8_support(self.module)[0]
+                qp = jax.device_put(quantize(self.params, calib))
+            else:
+                from image_enhance_keras_tpu.models.didbl_pallas import (
+                    quantize_didbl_params,
                 )
-            )
+
+                m = self.module
+                qp = jax.device_put(
+                    quantize_didbl_params(
+                        self.params, n_body53=m.n_body53, n_light=m.n_light,
+                        n_tail53=m.n_tail53, calib_x=calib, scale=m.scale,
+                    )
+                )
             self._qparams = qp
         return qp
 
@@ -382,16 +400,26 @@ class SuperResolver:
                 {"params": p}, h, method=tail_method
             )
             return body_fn, tail_fn
-        if fm in ("int8", "pallas_int8"):
+        if fm == "int8":
+            from image_enhance_keras_tpu.models.zoo_int8 import int8_support
+
+            sup = int8_support(module)
+            if sup is None or sup[2] is None:
+                raise ValueError(
+                    f"mode='split' with forward='int8' is not available for "
+                    f"{self.model_name!r}"
+                )
+            return sup[2], sup[3]
+        if fm == "pallas_int8":
             from image_enhance_keras_tpu.models import didbl_pallas as dp
 
             m = module
             if getattr(m, "upsampler", "tf1_bilinear") != "tf1_bilinear":
-                raise ValueError("int8 forwards support the tf1_bilinear head")
-            body = dp.apply_didbl_int8_xla_body if fm == "int8" else dp.apply_didbl_int8_body
-            tail = dp.apply_didbl_int8_xla_tail if fm == "int8" else dp.apply_didbl_int8_tail
-            body_fn = lambda qp, x: body(qp, x, n_body53=m.n_body53, n_light=m.n_light)
-            tail_fn = lambda qp, h: tail(qp, h, n_tail53=m.n_tail53, scale=m.scale)
+                raise ValueError("pallas_int8 supports the tf1_bilinear head")
+            body_fn = lambda qp, x: dp.apply_didbl_int8_body(
+                qp, x, n_body53=m.n_body53, n_light=m.n_light)
+            tail_fn = lambda qp, h: dp.apply_didbl_int8_tail(
+                qp, h, n_tail53=m.n_tail53, scale=m.scale)
             return body_fn, tail_fn
         raise ValueError(
             f"mode='split' supports the xla/int8/pallas_int8 forwards, not {fm!r}"

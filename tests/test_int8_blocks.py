@@ -200,3 +200,59 @@ def test_xla_int8_requires_calibration():
     with pytest.raises(ValueError, match="calib"):
         apply_didbl_int8_xla(qp, jnp.zeros((1, 8, 8, 3)),
                              n_body53=1, n_light=1, n_tail53=1)
+
+
+def test_difv4_int8_tracks_f32():
+    """Zoo int8: Difvdsr4 via the generic XLA-int8 path."""
+    from image_enhance_keras_tpu.models import init_params
+    from image_enhance_keras_tpu.models.difv4 import Difvdsr4
+    from image_enhance_keras_tpu.models.zoo_int8 import (
+        quantize_difv4_params,
+        apply_difv4_int8,
+    )
+
+    module = Difvdsr4(features=64, n_head=1, n_mid=2, n_tail=1)
+    params = init_params(module, jax.random.PRNGKey(1), input_hw=(8, 8))
+    rng = np.random.default_rng(6)
+    calib = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    qp = quantize_difv4_params(params, calib, n_head=1, n_mid=2, n_tail=1)
+    x = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+    want = np.asarray(module.apply({"params": params}, x))
+    got = np.asarray(apply_difv4_int8(qp, x, n_head=1, n_mid=2, n_tail=1))
+    assert got.shape == want.shape == (1, 32, 32, 3)
+    assert np.abs(got - want).mean() < 2e-3
+    assert np.abs(got - want).max() < 2e-2
+
+
+def test_difvdsr_int8_tracks_f32():
+    from image_enhance_keras_tpu.models import init_params
+    from image_enhance_keras_tpu.models.difvdsr import Difvdsr
+    from image_enhance_keras_tpu.models.zoo_int8 import (
+        quantize_difvdsr_params,
+        apply_difvdsr_int8,
+    )
+
+    module = Difvdsr(features=64, n_blocks=2)
+    params = init_params(module, jax.random.PRNGKey(2), input_hw=(12, 12))
+    rng = np.random.default_rng(7)
+    calib = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    qp = quantize_difvdsr_params(params, calib, n_blocks=2)
+    x = jnp.asarray(rng.random((1, 12, 12, 3)).astype(np.float32))
+    want = np.asarray(module.apply({"params": params}, x))
+    got = np.asarray(apply_difvdsr_int8(qp, x, n_blocks=2))
+    assert got.shape == want.shape
+    assert np.abs(got - want).mean() < 2e-3
+    assert np.abs(got - want).max() < 2e-2
+
+
+def test_int8_support_dispatch():
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+    from image_enhance_keras_tpu.models.difv4 import Difvdsr4
+    from image_enhance_keras_tpu.models.difvdsr import Difvdsr
+    from image_enhance_keras_tpu.models.zoo_int8 import int8_support
+
+    assert int8_support(DifvdsrDouble(features=16)) is not None
+    assert int8_support(Difvdsr4(features=16)) is not None
+    sup = int8_support(Difvdsr(features=16))
+    assert sup is not None and sup[2] is None  # no split decomposition
+    assert int8_support(DifvdsrDouble(features=16, upsampler="subpixel")) is None

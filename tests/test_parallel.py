@@ -166,3 +166,14 @@ def test_sharded_average_matches_single_device():
         sharded.upscale_patch_average(img, patch=16, step=8),
         single.upscale_patch_average(img, patch=16, step=8),
     )
+
+
+def test_sharded_int8_fast_matches_single_device():
+    """forward='int8' (XLA native-rate path) distributes: sharded fast-mode
+    output tracks the single-device int8 program within a uint8 level."""
+    single, sharded = _build_pair(mode="fast", forward_mode="int8")
+    img = np.random.default_rng(2).integers(0, 256, (48, 56, 3), dtype=np.uint8)
+    a = sharded.upscale(img).astype(np.int32)
+    b = single.upscale(img).astype(np.int32)
+    assert a.shape == b.shape == (192, 224, 3)
+    assert np.abs(a - b).max() <= 1

@@ -300,3 +300,22 @@ def test_stablehlo_export_roundtrip(tmp_path):
         bad = tmp_path / "bad.iekx"
         bad.write_bytes(b"junkjunkjunk")
         load_forward(str(bad))
+
+
+def test_stablehlo_export_roundtrip_int8(tmp_path):
+    """int8 serving artifacts export/reload: the quantized tree (folded int8
+    weights + scales) bakes into the StableHLO program like any constants."""
+    from image_enhance_keras_tpu.runtime.export import export_forward, load_forward
+
+    r = _tiny_resolver()
+    r.forward_mode = "int8"
+    img = np.random.default_rng(13).integers(0, 256, (24, 20, 3), dtype=np.uint8)
+    live = np.asarray(r._fast_fn((24, 20))(r._fwd_params(), img))
+
+    path = str(tmp_path / "tiny_int8.iekx")
+    export_forward(r, (24, 20), path)
+    out = np.asarray(load_forward(path)(img)).astype(np.int32)
+    # the exported program is a fresh compile of the same math; int8 values
+    # landing exactly on the .5 rounding boundary may flip one uint8 level
+    # under different fusion order (same class as SPMD summation order)
+    assert np.abs(out - live.astype(np.int32)).max() <= 1

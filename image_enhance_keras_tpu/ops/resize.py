@@ -204,14 +204,21 @@ def upsample_phase_tf1(x: jnp.ndarray, factor: int) -> jnp.ndarray:
         return x
 
     def axis_up(a: jnp.ndarray, axis: int) -> jnp.ndarray:
-        a = jnp.moveaxis(a, axis, -1)
-        nxt = jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)  # edge clamp
+        # transpose-free: shift along `axis` for the edge clamp, stack the f
+        # phases on a fresh axis right after it, and merge — keeps the big
+        # tail tensors in their NHWC layout (no moveaxis relayouts)
+        ax = axis % a.ndim
+        idx_last = [slice(None)] * a.ndim
+        idx_rest = [slice(None)] * a.ndim
+        idx_last[ax] = slice(a.shape[ax] - 1, None)
+        idx_rest[ax] = slice(1, None)
+        nxt = jnp.concatenate([a[tuple(idx_rest)], a[tuple(idx_last)]], axis=ax)
         phases = [
             a * jnp.asarray(1.0 - r / f, a.dtype) + nxt * jnp.asarray(r / f, a.dtype)
             for r in range(f)
         ]
-        up = jnp.stack(phases, axis=-1).reshape(a.shape[:-1] + (a.shape[-1] * f,))
-        return jnp.moveaxis(up, -1, axis)
+        up = jnp.stack(phases, axis=ax + 1)
+        return up.reshape(a.shape[:ax] + (a.shape[ax] * f,) + a.shape[ax + 1 :])
 
     return axis_up(axis_up(x, -3), -2)
 

@@ -23,6 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scale", default=1, type=int, help="scale label in prediction names")
     p.add_argument("--crop", default=10, type=int, help="border crop (reference: 10)")
     p.add_argument("--json", default=None, help="write means to this JSON file")
+    p.add_argument("--gmsd", action="store_true",
+                   help="also report GMSD-Y (perceptual gradient metric, lower=better)")
     p.add_argument("--allow-shape-mismatch", action="store_true",
                    help="score the top-left common region of mismatched pairs "
                         "instead of erroring")
@@ -52,6 +54,7 @@ def main(argv=None) -> int:
                 args.path_dir, suffix=args.suffix, scale_label=args.scale,
                 crop_border=args.crop,
                 allow_shape_mismatch=args.allow_shape_mismatch,
+                with_gmsd=args.gmsd,
             )
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from image_enhance_keras_tpu.ops.color import rgb2ycbcr
-from image_enhance_keras_tpu.ops.metrics import psnr_nitre, ssim
+from image_enhance_keras_tpu.ops.metrics import gmsd, psnr_nitre, ssim
 from image_enhance_keras_tpu.data.io import imread, list_images
 from image_enhance_keras_tpu.utils.logging import get_logger
 
@@ -38,6 +38,8 @@ class PairScore:
     psnr_y: float
     ssim_y: float
     ssim_rgb: float
+    #: perceptual extension (lower = better); None unless with_gmsd was set
+    gmsd_y: float | None = None
 
 
 @jax.jit
@@ -52,6 +54,7 @@ def _score_kernel(gt_cropped, pred_cropped):
             gt_cropped.astype(jnp.float32),
             data_range=255.0,
         ),
+        gmsd(pr_y, gt_y),
     )
 
 
@@ -67,6 +70,7 @@ def score_pair(
     name: str = "",
     crop_border: int = 10,
     allow_shape_mismatch: bool = False,
+    with_gmsd: bool = False,
 ) -> PairScore:
     if gt.shape != pred.shape:
         # The reference would fail on mismatched shapes (scorpath.py does
@@ -86,8 +90,11 @@ def score_pair(
         gt, pred = gt[:h, :w], pred[:h, :w]
     gt_c = _crop_border(gt, crop_border)
     pr_c = _crop_border(pred, crop_border)
-    p, sy, srgb = _score_kernel(jnp.asarray(gt_c), jnp.asarray(pr_c))
-    return PairScore(name, float(p), float(sy), float(srgb))
+    p, sy, srgb, g = _score_kernel(jnp.asarray(gt_c), jnp.asarray(pr_c))
+    return PairScore(
+        name, float(p), float(sy), float(srgb),
+        gmsd_y=float(g) if with_gmsd else None,
+    )
 
 
 def find_pairs(
@@ -115,6 +122,7 @@ def score_directory(
     crop_border: int = 10,
     verbose: bool = True,
     allow_shape_mismatch: bool = False,
+    with_gmsd: bool = False,
 ) -> tuple[list[PairScore], dict[str, float]]:
     scores = []
     for gt_path, pred_path in find_pairs(dir_path, suffix, scale_label):
@@ -124,10 +132,12 @@ def score_directory(
             name=os.path.basename(gt_path),
             crop_border=crop_border,
             allow_shape_mismatch=allow_shape_mismatch,
+            with_gmsd=with_gmsd,
         )
         scores.append(s)
         if verbose:
-            print(f"{s.name}: PSNR-Y {s.psnr_y:.4f}  SSIM-Y {s.ssim_y:.4f}  SSIM-RGB {s.ssim_rgb:.4f}")
+            extra = f"  GMSD-Y {s.gmsd_y:.4f}" if s.gmsd_y is not None else ""
+            print(f"{s.name}: PSNR-Y {s.psnr_y:.4f}  SSIM-Y {s.ssim_y:.4f}  SSIM-RGB {s.ssim_rgb:.4f}{extra}")
     if not scores:
         return scores, {}
     means = {
@@ -135,6 +145,8 @@ def score_directory(
         "ssim_y": float(np.mean([s.ssim_y for s in scores])),
         "ssim_rgb": float(np.mean([s.ssim_rgb for s in scores])),
     }
+    if with_gmsd:
+        means["gmsd_y"] = float(np.mean([s.gmsd_y for s in scores]))
     if verbose:
         print(
             f"MEAN over {len(scores)} images: PSNR-Y {means['psnr_y']:.4f}  "

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from image_enhance_keras_tpu.ops.filters import separable_filter2d, _gaussian_kernel1d
 
-__all__ = ["psnr_nitre", "psnr_vdsr", "psnr_shave", "psnr_peak1", "ssim", "mse"]
+__all__ = ["psnr_nitre", "psnr_vdsr", "psnr_shave", "psnr_peak1", "ssim", "mse", "gmsd"]
 
 
 def _shave(x: jnp.ndarray, border: int) -> jnp.ndarray:
@@ -159,3 +159,42 @@ def ssim(
         ]
         return jnp.mean(jnp.stack(vals))
     raise ValueError(f"expected 2-D or 3-D input, got {x.ndim}-D")
+
+
+def gmsd(x: jnp.ndarray, y: jnp.ndarray, c: float = 170.0) -> jnp.ndarray:
+    """Gradient Magnitude Similarity Deviation (Xue et al. 2013) — the
+    perceptual-metric extension of the eval harness (ROADMAP "Quality");
+    unlike LPIPS it needs no pretrained network, so it runs in the same
+    jitted on-device harness as PSNR/SSIM.
+
+    Protocol per the paper: inputs are luminance in [0, 255]; both images
+    are mean-pooled 2x2 (stride 2), gradient magnitudes come from 3x3
+    Prewitt kernels, the similarity map is ``(2 m1 m2 + c)/(m1^2 + m2^2 +
+    c)`` with c = 170, and the score is the map's standard deviation.
+    Lower is better; 0 = identical gradients.
+    """
+    if x.shape != y.shape or x.ndim != 2:
+        raise ValueError(f"expected equal 2-D luminance inputs, got {x.shape} vs {y.shape}")
+
+    def pool2(a):
+        h, w = (a.shape[0] // 2) * 2, (a.shape[1] // 2) * 2
+        a = a[:h, :w].astype(jnp.float32)
+        return (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]) / 4.0
+
+    px = jnp.asarray([[1, 0, -1], [1, 0, -1], [1, 0, -1]], jnp.float32) / 3.0
+    py = px.T
+
+    def grad_mag(a):
+        from jax import lax
+
+        a4 = a[None, :, :, None]
+        k = jnp.stack([px, py], axis=-1)[:, :, None, :]  # (3, 3, 1, 2)
+        g = lax.conv_general_dilated(
+            a4, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )[0]
+        return jnp.sqrt(g[..., 0] ** 2 + g[..., 1] ** 2)
+
+    m1 = grad_mag(pool2(x))
+    m2 = grad_mag(pool2(y))
+    gms = (2.0 * m1 * m2 + c) / (m1**2 + m2**2 + c)
+    return jnp.std(gms)

@@ -205,3 +205,39 @@ def test_depth_to_space_keras_ref_layout():
                             y[0, h * r + dy, w * r + dx, ch]
                             == x[0, h, w, ch * r * r + dx * r + dy]
                         )
+
+
+def test_gmsd_against_numpy_oracle():
+    """GMSD vs an independent NumPy replica of the paper's protocol."""
+    import numpy as np
+    from scipy.ndimage import convolve
+
+    from image_enhance_keras_tpu.ops.metrics import gmsd
+
+    rng = np.random.default_rng(0)
+    x = rng.random((37, 41)).astype(np.float32) * 255
+    y = np.clip(x + rng.normal(0, 12, x.shape), 0, 255).astype(np.float32)
+
+    def pool2(a):
+        h, w = (a.shape[0] // 2) * 2, (a.shape[1] // 2) * 2
+        a = a[:h, :w]
+        return (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]) / 4.0
+
+    px = np.array([[1, 0, -1]] * 3, np.float64) / 3.0
+
+    def gm(a):
+        # mirror the conv's SAME zero padding (correlation, no kernel flip)
+        gx = convolve(a.astype(np.float64), px[::-1, ::-1], mode="constant")
+        gy = convolve(a.astype(np.float64), px.T[::-1, ::-1], mode="constant")
+        return np.sqrt(gx**2 + gy**2)
+
+    m1, m2 = gm(pool2(x)), gm(pool2(y))
+    gms = (2 * m1 * m2 + 170.0) / (m1**2 + m2**2 + 170.0)
+    want = gms.std()
+    got = float(gmsd(jnp.asarray(x), jnp.asarray(y)))
+    assert abs(got - want) < 1e-4
+
+    # identical images -> 0; heavier distortion -> larger deviation
+    assert float(gmsd(jnp.asarray(x), jnp.asarray(x))) < 1e-6
+    z = np.clip(x + rng.normal(0, 40, x.shape), 0, 255).astype(np.float32)
+    assert float(gmsd(jnp.asarray(x), jnp.asarray(z))) > got

@@ -157,3 +157,36 @@ def test_difv4_split_equals_fast_bitexact(hw):
     split = np.asarray(r._split_fn(hw)(r.params, jnp.asarray(img)))
     assert split.shape == (hw[0] * 4, hw[1] * 4, 3)
     np.testing.assert_array_equal(split, fast)
+
+
+def test_difv4_split_int8_matches_fast_int8():
+    """difv4 split + forward='int8': striped tail tracks whole-frame int8."""
+    from image_enhance_keras_tpu.engine import SuperResolver
+    from image_enhance_keras_tpu.models.difv4 import Difvdsr4
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+    from image_enhance_keras_tpu.models import init_params
+
+    module = Difvdsr4(features=16, n_head=1, n_mid=2, n_tail=2)
+    r = SuperResolver.__new__(SuperResolver)
+    r.model_name = "difv4_tiny"
+    r.module = module
+    r.spec = ModelSpec("difv4_tiny", lambda **k: module, 4, False, "tiny", "w")
+    r.patch, r.step, r.crop = 48, 32, 8
+    r.scalemulti = 4
+    r.tile_chunk = 8
+    r.mode = "split"
+    r.fast_max_pixels = 1 << 20
+    r.split_tile = 16
+    r.forward_mode = "int8"
+    r._dtype = None
+    r._jitted = {}
+    r._jitted_fast = {}
+    r.params = init_params(module, jax.random.PRNGKey(2), input_hw=(16, 16))
+
+    hw = (24, 24)
+    img = np.random.default_rng(9).integers(0, 256, (*hw, 3), dtype=np.uint8)
+    qp = r._fwd_params()
+    fast = np.asarray(r._fast_fn(hw)(qp, jnp.asarray(img))).astype(np.int32)
+    split = np.asarray(r._split_fn(hw)(qp, jnp.asarray(img))).astype(np.int32)
+    assert split.shape == (96, 96, 3)
+    assert np.abs(split - fast).max() <= 1

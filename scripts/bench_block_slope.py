@@ -82,6 +82,13 @@ def main() -> int:
             ws["b1"][0], ws["b1"][1], ws["b2"][0], ws["b2"][1],
             interpret=False).astype(x.dtype)
 
+    def pallas_bf16_im2col(x):
+        # the r1 "im2col contraction layout" question, slope-measured
+        return fused_light53_block(
+            x, ws["a1"][0], ws["a1"][1], ws["a2"][0], ws["a2"][1],
+            ws["b1"][0], ws["b1"][1], ws["b2"][0], ws["b2"][1],
+            interpret=False, im2col=True).astype(x.dtype)
+
     def pallas_int8(x):
         return light53_int8(
             x, ws["a1"][2], ws["a1"][3], ws["a1"][1],
@@ -113,6 +120,7 @@ def main() -> int:
         ("xla_bf16", xla_bf16, xb),
         ("xla_int8", xla_int8, xi),
         ("pallas_bf16", pallas_bf16, xb),
+        ("pallas_bf16_im2col", pallas_bf16_im2col, xb),
         ("pallas_int8", pallas_int8, xb),
     ]
     only = os.environ.get("IEK_SLOPE_CASES")

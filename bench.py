@@ -25,8 +25,10 @@ int8_fast/int8_split).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs: IEK_BENCH_SIZE (512), IEK_BENCH_BATCH (4), IEK_BENCH_ITERS (3),
-IEK_BENCH_MODES (fast,split,patch_perf,patch_ref,int8_fast,int8_split;
-    also int8_pallas),
+IEK_BENCH_MODES (fast,split,patch_perf,patch_ref,int8_fast,int8_split,
+    split2d,int8_split2d; also int8_pallas,fast_batch,int8_batch — the
+    whole-batch modes need a small IEK_BENCH_BATCH: the batched tail
+    exceeds HBM at 4x512^2),
 IEK_BENCH_GLOBAL_TIMEOUT (1700s watchdog that emits whatever is measured).
 """
 
@@ -55,6 +57,10 @@ def _emit_and_exit():
         RESULTS.get("split", 0.0),
         RESULTS.get("int8_fast", 0.0),
         RESULTS.get("int8_split", 0.0),
+        RESULTS.get("fast_batch", 0.0),
+        RESULTS.get("int8_batch", 0.0),
+        RESULTS.get("split2d", 0.0),
+        RESULTS.get("int8_split2d", 0.0),
     )
     parts = ", ".join(f"{k} {v:.1f}" for k, v in RESULTS.items())
     note = "" if _DONE.is_set() else " [watchdog: partial results]"
@@ -94,7 +100,7 @@ def main() -> int:
     batch = int(os.environ.get("IEK_BENCH_BATCH", "4"))
     iters = int(os.environ.get("IEK_BENCH_ITERS", "3"))
     modes = os.environ.get(
-        "IEK_BENCH_MODES", "fast,split,patch_perf,patch_ref,int8_fast,int8_split"
+        "IEK_BENCH_MODES", "fast,split,patch_perf,patch_ref,int8_fast,int8_split,split2d,int8_split2d"
     ).split(",")
 
     rng = np.random.default_rng(0)
@@ -153,10 +159,43 @@ def main() -> int:
                                   forward="int8", split_tile=128,
                                   params=shared_params)
                 inner, p = r._split_fn((size, size)), r._fwd_params()
+            elif mode in ("split2d", "int8_split2d"):
+                # 2-D tiled tail: the 16x-pixel tail runs as a BATCH of
+                # <=512^2 HR tiles where v5e convs hit ~188 TFLOP/s instead
+                # of the ~118 they reach on 2048^2 spatials (tile sweep, r2)
+                fwd = "int8" if mode == "int8_split2d" else "xla"
+                r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="split",
+                                  forward=fwd, split_tile=128, split_tile_w=128,
+                                  params=shared_params)
+                inner, p = r._split_fn((size, size)), r._fwd_params()
             elif mode == "int8_pallas":
                 r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="fast",
                                   forward="pallas_int8", params=shared_params)
                 inner, p = r._fast_fn((size, size)), r._fwd_params()
+            elif mode in ("fast_batch", "int8_batch"):
+                # batched-frame serving (the engine's upscale_video pattern):
+                # all frames go through ONE conv batch.  Measured (tile
+                # sweep, r2): batch-1 convs run at 140.8/119.8 TFLOP/s at
+                # 512²/2048² while the same volume batched runs at ~190 —
+                # XLA tiles the batch dimension better than big spatials.
+                fwd = "int8" if mode == "int8_batch" else "xla"
+                r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="fast",
+                                  forward=fwd, params=shared_params)
+                forward = r._forward_fn()
+                pp = r._fwd_params()
+
+                def batch_fn(params, ims, salt, forward=forward):
+                    x = (ims + (salt % 2).astype(jnp.uint8)).astype(jnp.float32) / 255.0
+                    y = forward(params, x)
+                    out = jnp.clip(jnp.round(y * 255.0), 0.0, 255.0).astype(jnp.uint8)
+                    return jnp.sum(out[:, ::97, ::97, :].astype(jnp.int32))
+
+                dt = timed(jax.jit(batch_fn), pp)
+                RESULTS[mode] = out_px / dt / 1e6
+                print(json.dumps({"mode": mode,
+                                  "out_mpix_s": round(RESULTS[mode], 2)}),
+                      file=sys.stderr, flush=True)
+                continue
             else:
                 continue
             dt = timed(checksum_map(lambda pp, im: inner(pp, im)), p)

@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile_chunk", default=16, type=int)
     p.add_argument("--devices", default=1, type=int,
                    help="shard tiles across this many devices (data-parallel inference)")
+    p.add_argument("--split-tile-w", type=int, default=None,
+                   help="2-D tiled tail: also tile split-mode columns "
+                        "(body-map px; best perf ~128 at x4)")
     p.add_argument("--pipeline", action="store_true",
                    help="overlap native decode -> device -> encode "
                         "(runtime.serving); prints wall-clock Mpix/s incl. IO")
@@ -85,6 +88,7 @@ def main(argv=None) -> int:
             tile_chunk=args.tile_chunk,
             mode=args.mode,
             forward=args.forward,
+            split_tile_w=args.split_tile_w,
         )
     if args.pipeline:
         from image_enhance_keras_tpu.runtime.serving import serve_directory

@@ -190,3 +190,50 @@ def test_difv4_split_int8_matches_fast_int8():
     split = np.asarray(r._split_fn(hw)(qp, jnp.asarray(img))).astype(np.int32)
     assert split.shape == (96, 96, 3)
     assert np.abs(split - fast).max() <= 1
+
+
+@pytest.mark.parametrize("hw", [(40, 56), (13, 24), (24, 24), (7, 16)])
+def test_split2d_equals_fast_bitexact(hw):
+    """The 2-D tiled tail (split_tile_w) must also be bit-exact vs fast:
+    shifted uniform tiles keep full receptive-field context around every
+    owned pixel, and tile borders only coincide with true image borders."""
+    r = _tiny_resolver()
+    r.split_tile = 8
+    r.split_tile_w = 8
+    r.split2d_chunk = 3  # force full-chunks + remainder path
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (*hw, 3), dtype=np.uint8)
+    fast = np.asarray(r._fast_fn(hw)(r.params, jnp.asarray(img)))
+    split = np.asarray(r._split_fn(hw)(r.params, jnp.asarray(img)))
+    np.testing.assert_array_equal(split, fast)
+
+
+def test_split2d_difv4_equals_fast_bitexact():
+    from image_enhance_keras_tpu.engine import SuperResolver
+    from image_enhance_keras_tpu.models.difv4 import Difvdsr4
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+    from image_enhance_keras_tpu.models import init_params
+
+    module = Difvdsr4(features=16, n_head=1, n_mid=2, n_tail=2)
+    r = SuperResolver.__new__(SuperResolver)
+    r.model_name = "difv4_tiny"
+    r.module = module
+    r.spec = ModelSpec("difv4_tiny", lambda **k: module, 4, False, "tiny", "w")
+    r.patch, r.step, r.crop = 48, 32, 8
+    r.scalemulti = 4
+    r.tile_chunk = 8
+    r.mode = "split"
+    r.fast_max_pixels = 1 << 20
+    r.split_tile = 16
+    r.split_tile_w = 12
+    r.forward_mode = "xla"
+    r._dtype = None
+    r._jitted = {}
+    r._jitted_fast = {}
+    r.params = init_params(module, jax.random.PRNGKey(2), input_hw=(16, 16))
+
+    hw = (24, 20)
+    img = np.random.default_rng(12).integers(0, 256, (*hw, 3), dtype=np.uint8)
+    fast = np.asarray(r._fast_fn(hw)(r.params, jnp.asarray(img)))
+    split = np.asarray(r._split_fn(hw)(r.params, jnp.asarray(img)))
+    np.testing.assert_array_equal(split, fast)

@@ -517,8 +517,11 @@ class SuperResolver:
         T_r, starts_r, keeps_r = self._grid_1d(hb, t_r, halo)
         T_c, starts_c, keeps_c = self._grid_1d(wb, t_c, halo)
         n_tiles = len(starts_r) * len(starts_c)
-        # chunk the tile batch so peak tail activations stay bounded
-        chunk = min(max(1, getattr(self, "split2d_chunk", 4)), n_tiles)
+        # chunk the tile batch so peak tail activations stay bounded.
+        # 8 measured fastest on v5e at 128-px tiles (22.5 vs 16.8 Mpix/s at
+        # chunk 4 and 18.7 at 16 — big enough for conv batch efficiency,
+        # small enough to avoid HBM pressure/rematerialisation)
+        chunk = min(max(1, getattr(self, "split2d_chunk", 8)), n_tiles)
         rem = n_tiles % chunk
         n_full = n_tiles - rem
 

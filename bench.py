@@ -25,8 +25,9 @@ int8_fast/int8_split).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs: IEK_BENCH_SIZE (512), IEK_BENCH_BATCH (4), IEK_BENCH_ITERS (3),
-IEK_BENCH_MODES (fast,split,patch_perf,patch_ref,int8_fast,int8_split,
-    split2d,int8_split2d; also int8_pallas,fast_batch,int8_batch — the
+IEK_BENCH_MODES (int8_split2d,int8_fast,fast,split2d,split,int8_split,
+    patch_perf,patch_ref — headline modes first so a watchdog cut still
+    records them; also int8_pallas,fast_batch,int8_batch — the
     whole-batch modes need a small IEK_BENCH_BATCH: the batched tail
     exceeds HBM at 4x512^2),
 IEK_BENCH_GLOBAL_TIMEOUT (1700s watchdog that emits whatever is measured).
@@ -100,7 +101,7 @@ def main() -> int:
     batch = int(os.environ.get("IEK_BENCH_BATCH", "4"))
     iters = int(os.environ.get("IEK_BENCH_ITERS", "3"))
     modes = os.environ.get(
-        "IEK_BENCH_MODES", "fast,split,patch_perf,patch_ref,int8_fast,int8_split,split2d,int8_split2d"
+        "IEK_BENCH_MODES", "int8_split2d,int8_fast,fast,split2d,split,int8_split,patch_perf,patch_ref"
     ).split(",")
 
     rng = np.random.default_rng(0)

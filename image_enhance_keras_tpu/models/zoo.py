@@ -30,7 +30,11 @@ class ModelSpec:
     net_scale: int  # output/input spatial ratio of the network itself
     pre_upscaled_input: bool  # difvdsr operates on an already-upscaled image
     description: str
-    default_weights: str  # checkpoint stem (reference weight dirs, section 2.10)
+    # The REFERENCE's checkpoint home for this family (SURVEY.md section
+    # 2.10 mapping, e.g. weights_Double <- models.py:1217).  Documentation
+    # only — not a promise of a loadable local checkpoint; pass explicit
+    # `weights=` (e.g. weights_Double/didbl_set5demo.npz) to load one.
+    default_weights: str
     # AE-style models whose eval path coerces images to /4-divisible sizes
     # and runs the divisible-shape driver (reference models.py:105,159-163);
     # False for every shipped reference model (it's capability surface).

@@ -31,9 +31,13 @@ requested compute dtype (bf16 in serving).  F(2,x) keeps the transform
 amplification ~1 order of magnitude below F(4,x), which is why m=2 is the
 serving default; m=4 for the 3x3s is available behind the same API.
 
-Reference mapping: replaces `lax.conv_general_dilated` for the SAME 3x3/5x5
-convs of `_residual_block_light53` / `_residual_block_light`
-(/root/reference/models.py:1231-1270) inside `--forward winograd`.
+Reference mapping: a drop-in for `lax.conv_general_dilated` on the SAME
+3x3/5x5 convs of `_residual_block_light53` / `_residual_block_light`
+(/root/reference/models.py:1231-1270).  This is a bench/experiment op only
+(scripts/bench_winograd.py + tests) — it is NOT wired into any `--forward`
+mode, because the measured roofline says it LOSES to direct conv on v5e:
+the 52x MXU:VPU rate ratio makes the VPU-side transforms the bottleneck at
+C=128 (see the bench script header for the measured numbers).
 """
 
 from __future__ import annotations

@@ -74,6 +74,7 @@ def main(argv=None) -> int:
             mode=args.mode,
             forward=args.forward,
             n_devices=args.devices,
+            split_tile_w=args.split_tile_w,
         )
     else:
         from image_enhance_keras_tpu.engine import SuperResolver

@@ -5,6 +5,9 @@ from image_enhance_keras_tpu.tiling.tiles import (  # noqa: F401
     extract_tiles,
     stitch_tiles,
     crop_output,
+    shift_grid_axis,
+    shifted_extract_indices,
+    shifted_stitch_indices,
 )
 from image_enhance_keras_tpu.tiling.dense import (  # noqa: F401
     extract_dense_patches,

@@ -237,3 +237,22 @@ def test_split2d_difv4_equals_fast_bitexact():
     fast = np.asarray(r._fast_fn(hw)(r.params, jnp.asarray(img)))
     split = np.asarray(r._split_fn(hw)(r.params, jnp.asarray(img)))
     np.testing.assert_array_equal(split, fast)
+
+
+def test_split2d_hlo_size_is_tile_count_invariant():
+    """The gather-based split2d build must not grow the traced program with
+    the tile count (VERDICT r2 weak 5: the old slice/stack build put ~1k
+    slice ops in the HLO at poster sizes).  Compare lowered HLO text sizes
+    at 4 tiles vs 64 tiles: same program shape, only constants change."""
+    r = _tiny_resolver()
+    r.split_tile = 8
+    r.split_tile_w = 8
+
+    def hlo_len(hw):
+        fn = r._split_fn_2d(hw)
+        img = jnp.zeros((*hw, 3), jnp.uint8)
+        return len(fn.lower(r.params, img).as_text())
+
+    small = hlo_len((16, 16))   # 2x2 tiles
+    large = hlo_len((64, 64))   # 8x8 tiles
+    assert large < 1.5 * small, (small, large)

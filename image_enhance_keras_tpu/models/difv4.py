@@ -43,17 +43,31 @@ class Difvdsr4(nn.Module):
     n_mid: int = 20
     n_tail: int = 6
     dtype: Any = None
+    #: net scale: 4 = the reference 2x+2x graph; 2 = the single-2x variant
+    #: behind the reference's x2 dev-note configs (models.py:1061-1069) —
+    #: same towers, the tail's second upsample dropped.
+    scale: int = 4
 
     # split-mode geometry (engine._split_fn): body output is 2x the input;
-    # tail upsamples a further 2x with a 13-px HR receptive field.
+    # at scale=4 the tail upsamples a further 2x (13-px HR receptive field,
+    # halo 8 = ceil(13/2)+1 rows of the 2x map); at scale=2 the tail runs at
+    # the body-map resolution (RF 13 there -> halo 14 = ceil(13/1)+1).
     # The tail method is `tail_fn` — `tail` must stay the submodule list so
     # param scopes remain tail_0.. (the Keras importer's layer map).
     body_upscale: int = 2
-    tail_upscale: int = 2
-    split_halo: int = 8
     split_tail_method: str = "tail_fn"
 
+    @property
+    def tail_upscale(self) -> int:
+        return self.scale // 2
+
+    @property
+    def split_halo(self) -> int:
+        return 8 if self.scale == 4 else 14
+
     def setup(self):
+        if self.scale not in (2, 4):
+            raise ValueError(f"Difvdsr4 supports scale 2 or 4, got {self.scale}")
         self.level1 = nn.Conv(self.features, (1, 1), padding="SAME", dtype=self.dtype)
         self.head = [
             LightBlock(self.features, leaky_slope=0.001, dtype=self.dtype)
@@ -80,9 +94,10 @@ class Difvdsr4(nn.Module):
         return h + skip
 
     def tail_fn(self, h):
-        """x2 upsample + tail tower + out conv (spatially local, RF 13 at 4x)."""
+        """(x2 upsample at scale=4) + tail tower + out conv (spatially local)."""
         h = h.astype(self.dtype or h.dtype)
-        h = _up2(h)
+        if self.scale == 4:
+            h = _up2(h)
         for blk in self.tail:
             h = blk(h)
         out = self.out(h)

@@ -82,6 +82,17 @@ MODEL_REGISTRY: dict[str, ModelSpec] = {
         description="Difvdsr4 progressive 2x+2x (reference models.py:992-1142)",
         default_weights="weights_Difvdsr2scale",
     ),
+    "difv4_x2": ModelSpec(
+        "difv4_x2",
+        lambda dtype=None, **kw: Difvdsr4(dtype=dtype, scale=2, **kw),
+        net_scale=2,
+        pre_upscaled_input=False,
+        description=(
+            "Difvdsr4 single-2x variant (the reference's x2 dev-note configs, "
+            "models.py:1061-1069)"
+        ),
+        default_weights="weights_Difvdsr2scale",
+    ),
     "difvdsr": ModelSpec(
         "difvdsr",
         _make_difvdsr,

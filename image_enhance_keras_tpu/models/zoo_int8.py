@@ -59,13 +59,15 @@ def int8_support(module):
                 qp, h, n_tail53=module.n_tail53, scale=module.scale),
         )
     if cls == "Difvdsr4":
-        kw = dict(n_head=module.n_head, n_mid=module.n_mid, n_tail=module.n_tail)
+        kw = dict(n_head=module.n_head, n_mid=module.n_mid, n_tail=module.n_tail,
+                  scale=module.scale)
         return (
             lambda params, calib: quantize_difv4_params(params, calib, **kw),
             lambda qp, x: apply_difv4_int8(qp, x, **kw),
             lambda qp, x: apply_difv4_int8_body(
                 qp, x, n_head=module.n_head, n_mid=module.n_mid),
-            lambda qp, h: apply_difv4_int8_tail(qp, h, n_tail=module.n_tail),
+            lambda qp, h: apply_difv4_int8_tail(
+                qp, h, n_tail=module.n_tail, scale=module.scale),
         )
     if cls == "Difvdsr":
         return (
@@ -133,8 +135,10 @@ def quantize_difv4_params(
     n_head: int = 6,
     n_mid: int = 20,
     n_tail: int = 6,
+    scale: int = 4,
 ) -> Any:
-    """Calibrate + quantize Difvdsr4 (reference models.py:992-1142)."""
+    """Calibrate + quantize Difvdsr4 (reference models.py:992-1142;
+    scale=2 = the single-2x variant, no second upsample)."""
     from image_enhance_keras_tpu.ops.resize import upsample_phase_tf1
 
     out = {"level1": params["level1"], "out": params["out"]}
@@ -150,7 +154,8 @@ def quantize_difv4_params(
         h, sc = _calib_light(h, p, None)
         out[f"mid_{i}"] = _quantize_light(p, sc)
     h = h + skip
-    h = upsample_phase_tf1(h, 2)
+    if scale == 4:
+        h = upsample_phase_tf1(h, 2)
     for i in range(n_tail):
         p = params[f"tail_{i}"]
         h, sc = _calib_light(h, p, None)
@@ -174,11 +179,14 @@ def apply_difv4_int8_body(qp: Any, x: jnp.ndarray, n_head: int = 6,
     return h + skip
 
 
-def apply_difv4_int8_tail(qp: Any, h: jnp.ndarray, n_tail: int = 6) -> jnp.ndarray:
-    """Mirrors Difvdsr4.tail_fn: x2 upsample + tail tower + out conv."""
+def apply_difv4_int8_tail(qp: Any, h: jnp.ndarray, n_tail: int = 6,
+                          scale: int = 4) -> jnp.ndarray:
+    """Mirrors Difvdsr4.tail_fn: (x2 upsample at scale=4) + tail + out conv."""
     from image_enhance_keras_tpu.ops.resize import upsample_phase_tf1
 
-    h = upsample_phase_tf1(h.astype(jnp.bfloat16), 2)
+    h = h.astype(jnp.bfloat16)
+    if scale == 4:
+        h = upsample_phase_tf1(h, 2)
     for i in range(n_tail):
         h = _light_i8(h, qp[f"tail_{i}"], None)
     out = _conv(h, qp["out"])
@@ -186,9 +194,9 @@ def apply_difv4_int8_tail(qp: Any, h: jnp.ndarray, n_tail: int = 6) -> jnp.ndarr
 
 
 def apply_difv4_int8(qp: Any, x: jnp.ndarray, n_head: int = 6, n_mid: int = 20,
-                     n_tail: int = 6) -> jnp.ndarray:
+                     n_tail: int = 6, scale: int = 4) -> jnp.ndarray:
     h = apply_difv4_int8_body(qp, x, n_head=n_head, n_mid=n_mid)
-    return apply_difv4_int8_tail(qp, h, n_tail=n_tail)
+    return apply_difv4_int8_tail(qp, h, n_tail=n_tail, scale=scale)
 
 
 # -- difvdsr ----------------------------------------------------------------

@@ -156,18 +156,24 @@ class Trainer:
         setup_jax()
         self.config = config or Config()
         cfg = self.config
-        self.module, self.spec = get_model(cfg.model, dtype=cfg.jax_dtype())
+        self.module, self.spec = get_model(
+            cfg.model, dtype=cfg.jax_dtype(), **(cfg.model_kwargs or {})
+        )
         pre_up = self.spec.pre_upscaled_input
-        if self.spec.net_scale != 4 and not pre_up:
-            raise ValueError("trainer currently targets x4 generators")
+        # training degradation factor: the network's own scale, or (for
+        # pre-upscaled-input refiners whose net_scale is 1) the reference's
+        # x4 serving degradation (models.py:652, scalemulti).  r2 VERDICT
+        # next-10: the trainer used to hard-code x4 and raise otherwise.
+        scale = cfg.scalemulti if pre_up else self.spec.net_scale
+        self.train_scale = scale
 
         if train_images is None:
             log.warning("no training images provided; using synthetic smoke set")
-            train_images = synthetic_images(8, max(128, cfg.lr_patch * 4 + 8))
+            train_images = synthetic_images(8, max(128, cfg.lr_patch * scale + 8))
         if val_images is None:
             val_images = train_images[:2]
 
-        hr_patch = cfg.lr_patch * 4
+        hr_patch = cfg.lr_patch * scale
         # multi-host: each process samples ITS shard of the global batch
         # (distinct seed per host); _global_batch assembles the global array
         # from the per-process shards (parallel/distributed.py bootstrap).
@@ -217,8 +223,8 @@ class Trainer:
         self.state = TrainState(params, self.tx.init(params), 0)
 
         self.mesh = mesh
-        step = make_train_step(self.module, self.tx, 4, cfg.blur_sigma, pre_up)
-        eval_step = make_eval_step(self.module, 4, cfg.blur_sigma, pre_up)
+        step = make_train_step(self.module, self.tx, scale, cfg.blur_sigma, pre_up)
+        eval_step = make_eval_step(self.module, scale, cfg.blur_sigma, pre_up)
         if mesh is not None:
             from image_enhance_keras_tpu.parallel.data_parallel import (
                 shard_train_step,
@@ -244,11 +250,11 @@ class Trainer:
         self.metric_images: list[np.ndarray] = []
         if monitor in ("val_ssim_y", "val_psnr_y") or cfg.image_eval:
             self._image_metric_step = make_image_metric_step(
-                self.module, 4, pre_up
+                self.module, scale, pre_up
             )
             for im in val_images:
-                h = (im.shape[0] // 4) * 4
-                w = (im.shape[1] // 4) * 4
+                h = (im.shape[0] // scale) * scale
+                w = (im.shape[1] // scale) * scale
                 if h >= 44 and w >= 44:  # crop-10 must leave pixels
                     self.metric_images.append(np.asarray(im[:h, :w]))
             if not self.metric_images and monitor in ("val_ssim_y", "val_psnr_y"):

@@ -15,6 +15,9 @@ class Config:
     model: str = "didbl"
     dtype: str = "float32"  # "bfloat16" for the serving profile
     weights: str | None = None
+    # extra kwargs forwarded to the model constructor (e.g. tiny block
+    # configs for smoke runs: {"features": 8, "n_mid": 1})
+    model_kwargs: dict = dataclasses.field(default_factory=dict)
 
     # tiled inference (reference hard-codes 96/64/8: main_dirpath.py:53,
     # models.py:248, img_utils.py:700)

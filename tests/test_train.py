@@ -210,3 +210,59 @@ def test_ssim_y_monitor_gates_best_checkpoint(tmp_path):
     assert "val_psnr_y" in hist
     idx = json.load(open(os.path.join(t.config.checkpoint_dir, "index.json")))
     assert idx["best_metric"] == pytest.approx(ssim_y)
+
+
+def test_trainer_x2_model_smoke(tmp_path):
+    """The trainer is no longer x4-only (r2 VERDICT next-10): a difv4-at-x2
+    config (the reference's x2 dev-note family, models.py:1061-1069) trains
+    smoke epochs with the degradation scale taken from spec.net_scale."""
+    from image_enhance_keras_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(
+        tmp_path,
+        model="difv4_x2",
+        model_kwargs=dict(features=8, n_head=1, n_mid=1, n_tail=1),
+        epochs=2,
+        steps_per_epoch=4,
+    )
+    t = Trainer(cfg)
+    assert t.train_scale == 2
+    hist = t.fit()
+    assert np.isfinite(hist["loss"][-1])
+    assert hist["loss"][-1] < hist["loss"][0]
+    assert os.path.exists(os.path.join(t.config.checkpoint_dir, "best"))
+
+
+def test_difv4_x2_forward_and_split(tmp_path):
+    """difv4_x2 is a real zoo entry: net_scale 2, split-mode decomposition
+    (tail at the body-map resolution, halo 14) matches the fast forward."""
+    from image_enhance_keras_tpu.engine import SuperResolver
+    from image_enhance_keras_tpu.models import get_model, init_params
+    from image_enhance_keras_tpu.models.zoo import MODEL_REGISTRY
+
+    module, spec = get_model("difv4_x2", features=8, n_head=1, n_mid=1, n_tail=1)
+    assert spec.net_scale == 2 and module.scale == 2
+    assert module.tail_upscale == 1 and module.split_halo == 14
+
+    r = SuperResolver.__new__(SuperResolver)
+    r.model_name = "difv4_x2"
+    r.module = module
+    r.spec = spec
+    r.patch, r.step, r.crop = 48, 32, 8
+    r.scalemulti = 2
+    r.tile_chunk = 8
+    r.mode = "split"
+    r.fast_max_pixels = 1 << 20
+    r.split_tile = 16
+    r.forward_mode = "xla"
+    r._dtype = None
+    r._jitted = {}
+    r._jitted_fast = {}
+    r.params = init_params(module, jax.random.PRNGKey(3), input_hw=(16, 16))
+
+    hw = (24, 20)
+    img = np.random.default_rng(13).integers(0, 256, (*hw, 3), dtype=np.uint8)
+    fast = np.asarray(r._fast_fn(hw)(r.params, jnp.asarray(img)))
+    assert fast.shape == (48, 40, 3)
+    split = np.asarray(r._split_fn(hw)(r.params, jnp.asarray(img)))
+    np.testing.assert_array_equal(split, fast)

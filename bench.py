@@ -62,6 +62,9 @@ def _emit_and_exit():
         RESULTS.get("int8_batch", 0.0),
         RESULTS.get("split2d", 0.0),
         RESULTS.get("int8_split2d", 0.0),
+        RESULTS.get("int8_split2d_bt", 0.0),
+        RESULTS.get("int8_split2d_dyn", 0.0),
+        RESULTS.get("int8_split2d_bt_dyn", 0.0),
     )
     parts = ", ".join(f"{k} {v:.1f}" for k, v in RESULTS.items())
     note = "" if _DONE.is_set() else " [watchdog: partial results]"
@@ -160,14 +163,24 @@ def main() -> int:
                                   forward="int8", split_tile=128,
                                   params=shared_params)
                 inner, p = r._split_fn((size, size)), r._fwd_params()
-            elif mode in ("split2d", "int8_split2d"):
+            elif mode in ("split2d", "int8_split2d", "int8_split2d_bt",
+                          "int8_split2d_dyn", "int8_split2d_bt_dyn"):
                 # 2-D tiled tail: the 16x-pixel tail runs as a BATCH of
                 # <=512^2 HR tiles where v5e convs hit ~188 TFLOP/s instead
-                # of the ~118 they reach on 2048^2 spatials (tile sweep, r2)
-                fwd = "int8" if mode == "int8_split2d" else "xla"
+                # of the ~118 they reach on 2048^2 spatials (tile sweep, r2).
+                # _bt adds the r3 tiled int8 BODY (256^2 segments, bit-exact;
+                # the 1x512^2 body ran at ~175 vs ~291 TFLOP/s-equiv);
+                # _dyn quantizes the tail with dynamic per-tile scales
+                # (0.0004 SSIM-Y delta scheme).
+                fwd = "xla" if mode == "split2d" else "int8"
                 r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="split",
                                   forward=fwd, split_tile=128, split_tile_w=128,
                                   params=shared_params)
+                if "_bt" in mode:
+                    r.int8_body_tile = int(os.environ.get("IEK_BODY_TILE", "256"))
+                    r.int8_body_seg = int(os.environ.get("IEK_BODY_SEG", "4"))
+                if "_dyn" in mode:
+                    r.int8_dynamic_tail = True
                 inner, p = r._split_fn((size, size)), r._fwd_params()
             elif mode == "int8_pallas":
                 r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="fast",

@@ -170,8 +170,19 @@ class SuperResolver:
     # ------------------------------------------------------------------
     # jitted tiled pipeline (one compile per padded-size bucket)
     # ------------------------------------------------------------------
+    def _fwd_key(self):
+        """Forward-affecting options that must key the jit caches (stale
+        program reuse after toggling them was ADVICE r2's bug class)."""
+        return (
+            getattr(self, "forward_mode", "xla"),
+            bool(getattr(self, "int8_dynamic_tail", False)),
+            int(getattr(self, "int8_body_tile", 0)),
+            int(getattr(self, "int8_body_seg", 4)),
+        )
+
     def _pipeline_for(self, plan: TilePlan):
-        fn = self._jitted.get(plan)
+        key = (plan, self._fwd_key())
+        fn = self._jitted.get(key)
         if fn is not None:
             return fn
 
@@ -205,7 +216,7 @@ class SuperResolver:
             return jnp.clip(jnp.round(result), 0.0, 255.0).astype(jnp.uint8)
 
         fn = jax.jit(run)
-        self._jitted[plan] = fn
+        self._jitted[key] = fn
         return fn
 
     def _forward_fn(self):
@@ -220,6 +231,11 @@ class SuperResolver:
                 raise ValueError(
                     f"forward='int8' is not available for {self.model_name!r}"
                 )
+            if getattr(self, "int8_dynamic_tail", False) or getattr(
+                self, "int8_body_tile", 0
+            ):
+                body_fn, tail_fn = self._split_body_tail_fns()
+                return lambda qp, x: tail_fn(qp, body_fn(qp, x))
             return sup[1]
         if mode == "pallas_int8":
             from image_enhance_keras_tpu.models.didbl_pallas import apply_didbl_int8
@@ -249,12 +265,87 @@ class SuperResolver:
         module = self.module
         return lambda params, b: module.apply({"params": params}, b)
 
-    #: int8 calibration source: "synthetic" (default — 4 deterministic
-    #: procedural tiles; measured SSIM-Y delta 0.0026 on the mixed-content
-    #: gate) or "first_frame" (central crop of the first frame served —
-    #: tighter when the stream is homogeneous, but measured WORSE, 0.0056,
-    #: when content varies: scales fitted to frame 1 mis-serve the rest).
-    int8_calib: str = "synthetic"
+    #: int8 calibration source:
+    #:   "images"      (default) — LR-degraded central crops of real images
+    #:                 from ``int8_calib_dir``; textured content exercises
+    #:                 activation ranges synthetic tiles miss (the r2
+    #:                 full-Set5 delta regression traced exactly to that);
+    #:                 falls back to synthetic when the dir is absent.
+    #:   "synthetic"   — 4 deterministic procedural tiles (no data files
+    #:                 needed; measured SSIM-Y delta 0.0026 on the 2-image
+    #:                 gate but 0.0052 full-Set5).
+    #:   "first_frame" — central crop of the first frame served (tighter for
+    #:                 homogeneous streams, measured WORSE, 0.0056, on mixed
+    #:                 content).
+    int8_calib: str = "images"
+    #: image directory for int8_calib="images" (committed Set5 GTs by
+    #: default; point at a few representative production frames in real
+    #: deployments)
+    int8_calib_dir: str = "data_set5"
+    #: didbl serving option: quantize the post-upsample TAIL with dynamic
+    #: per-sample (per-tile in split2d) activation scales instead of static
+    #: calibrated ones — r2 measured dynamic per-tile at 0.0004 SSIM-Y
+    #: delta; costs an abs-max reduction per tail conv input.
+    int8_dynamic_tail: bool = False
+    #: didbl serving option: spatial tile size for the int8 BODY (0 = whole
+    #: frame).  Measured r2 map: int8 convs run ~291 TFLOP/s-equiv at
+    #: <=256^2 spatials vs ~175 at 512^2, making the 1x512^2 body the
+    #: biggest int8 loss — per-segment shifted-tile decomposition (bit-exact,
+    #: didbl_pallas.apply_didbl_int8_xla_body_tiled) moves it into the fast
+    #: regime.  Try 256 at >=512^2 frames.
+    int8_body_tile: int = 0
+    #: blocks per tiled body segment (halo = summed receptive radius; bigger
+    #: seg = more halo-overlap FLOPs, fewer extract/stitch round-trips)
+    int8_body_seg: int = 4
+
+    def _calib_from_images(self) -> jnp.ndarray | None:
+        """(N, s, s, 3) [0,1] calibration inputs from real images: central
+        crop -> serving degradation (PIL-bicubic /scale) -> common-size LR
+        crops (pre-upscaled-input models get the bicubic re-upscale, i.e.
+        exactly the serving distribution)."""
+        from image_enhance_keras_tpu.data.io import list_images
+
+        try:
+            paths = [
+                p for p in list_images(self.int8_calib_dir)
+                if "scaled" not in os.path.basename(p)
+            ]
+        except Exception:
+            return None
+        s = max(1, int(self.scalemulti))
+        crops = []
+        for p in paths[:8]:
+            try:
+                img = np.asarray(imread(p))
+            except Exception:
+                continue
+            h, w = img.shape[:2]
+            if min(h, w) < s * 16:
+                continue
+            hh, ww = (h // s) * s, (w // s) * s
+            img = img[
+                (h - hh) // 2 : (h - hh) // 2 + hh,
+                (w - ww) // 2 : (w - ww) // 2 + ww,
+            ]
+            lr = resize_pil_uint8(
+                jnp.asarray(img, jnp.float32), (hh // s, ww // s)
+            )
+            crops.append(np.asarray(lr))
+        if not crops:
+            return None
+        cs = min(min(c.shape[0], c.shape[1]) for c in crops)
+        cs = min(cs, 128)
+        crops = [
+            c[
+                (c.shape[0] - cs) // 2 : (c.shape[0] - cs) // 2 + cs,
+                (c.shape[1] - cs) // 2 : (c.shape[1] - cs) // 2 + cs,
+            ]
+            for c in crops
+        ]
+        calib = jnp.asarray(np.stack(crops), jnp.float32)
+        if self.spec.pre_upscaled_input:
+            calib = resize_pil_uint8(calib, (cs * s, cs * s))
+        return calib / 255.0
 
     def _maybe_calibrate_int8(self, img_u8: np.ndarray) -> None:
         """Optional first-frame int8 calibration (``int8_calib``)."""
@@ -283,6 +374,14 @@ class SuperResolver:
             # has seen an image (_maybe_calibrate_int8), else deterministic
             # synthetic tiles; recalibrate any time via the quantize_* APIs
             calib = getattr(self, "_calib_x", None)
+            if calib is None and getattr(self, "int8_calib", "images") == "images":
+                calib = self._calib_from_images()
+                if calib is None:
+                    log.warning(
+                        "int8_calib='images' but no usable images under %r; "
+                        "falling back to synthetic calibration tiles",
+                        self.int8_calib_dir,
+                    )
             if calib is None:
                 calib = (
                     jnp.asarray(np.stack(synthetic_images(4, 128)), jnp.float32)
@@ -388,7 +487,7 @@ class SuperResolver:
         return np.asarray(fn(self._fwd_params(), jnp.asarray(img)))
 
     def _fast_fn(self, hw):
-        fn = self._jitted_fast.get(tuple(hw))
+        fn = self._jitted_fast.get((tuple(hw), self._fwd_key()))
         if fn is None:
             forward = self._forward_fn()
 
@@ -398,7 +497,7 @@ class SuperResolver:
                 return jnp.clip(jnp.round(y), 0.0, 255.0).astype(jnp.uint8)
 
             fn = jax.jit(run)
-            self._jitted_fast[tuple(hw)] = fn
+            self._jitted_fast[(tuple(hw), self._fwd_key())] = fn
         return fn
 
     def _supports_split(self) -> bool:
@@ -433,7 +532,29 @@ class SuperResolver:
                     f"mode='split' with forward='int8' is not available for "
                     f"{self.model_name!r}"
                 )
-            return sup[2], sup[3]
+            body_fn, tail_fn = sup[2], sup[3]
+            dyn = getattr(self, "int8_dynamic_tail", False)
+            btile = int(getattr(self, "int8_body_tile", 0))
+            if dyn or btile:
+                if type(module).__name__ != "DifvdsrDouble":
+                    raise ValueError(
+                        "int8_dynamic_tail / int8_body_tile are implemented "
+                        "for the didbl family"
+                    )
+                from image_enhance_keras_tpu.models import didbl_pallas as dp
+
+                m = module
+                if dyn:
+                    tail_fn = lambda qp, h: dp.apply_didbl_int8_xla_tail(
+                        qp, h, n_tail53=m.n_tail53, scale=m.scale, dynamic=True
+                    )
+                if btile:
+                    seg = int(getattr(self, "int8_body_seg", 4))
+                    body_fn = lambda qp, x: dp.apply_didbl_int8_xla_body_tiled(
+                        qp, x, n_body53=m.n_body53, n_light=m.n_light,
+                        tile=btile, seg=seg,
+                    )
+            return body_fn, tail_fn
         if fm == "pallas_int8":
             from image_enhance_keras_tpu.models import didbl_pallas as dp
 
@@ -464,7 +585,7 @@ class SuperResolver:
         """
         if getattr(self, "split_tile_w", None):
             return self._split_fn_2d(hw)
-        key = ("split", tuple(hw), self.split_tile)
+        key = ("split", tuple(hw), self.split_tile, self._fwd_key())
         fn = self._jitted.get(key)
         if fn is not None:
             return fn
@@ -562,6 +683,7 @@ class SuperResolver:
         cost.  Enabled by ``split_tile_w`` (CLI --split-tile-w)."""
         key = (
             "split2d", tuple(hw), self.split_tile, int(self.split_tile_w),
+            self._fwd_key(),
             getattr(self, "split2d_chunk", 8),
         )
         fn = self._jitted.get(key)
@@ -617,7 +739,7 @@ class SuperResolver:
         s = step
         h2 = patch + -(-(max(h - patch, 0)) // s) * s
         w2 = patch + -(-(max(w - patch, 0)) // s) * s
-        key = ("avg", h2, w2, patch, s)
+        key = ("avg", h2, w2, patch, s, self._fwd_key())
         fn = self._jitted.get(key)
         if fn is None:
             forward = self._forward_fn()
@@ -652,7 +774,7 @@ class SuperResolver:
         forward in chunks inside one jitted program per (T, H, W) shape."""
         frames = np.asarray(frames)
         t, h, w = frames.shape[:3]
-        key = ("video", t, h, w, frame_chunk)
+        key = ("video", t, h, w, frame_chunk, self._fwd_key())
         fn = self._jitted.get(key)
         if fn is None:
             forward = self._forward_fn()
@@ -680,7 +802,7 @@ class SuperResolver:
     def _frame_fn(self, hw):
         # per-instance cache like _jitted/_jitted_fast (an lru_cache on the
         # bound method would key on `self` and pin resolvers alive globally)
-        key = ("frame", tuple(hw))
+        key = ("frame", tuple(hw), self._fwd_key())
         fn = self._jitted.get(key)
         if fn is None:
             forward = self._forward_fn()

@@ -334,6 +334,36 @@ def _light_i8_xla(x, p):
     return (x.astype(jnp.float32) + 0.1 * u).astype(x.dtype)
 
 
+def _quant_dyn_sample(x):
+    """Dynamic per-SAMPLE symmetric int8 (one scale per batch element —
+    per tile in the split2d tail batch).  r2 measurement: dynamic per-tile
+    scales score a 0.0004 SSIM-Y delta vs 0.0026-0.0052 for static
+    schemes; cost is one abs-max reduction per conv input."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True), 1e-6
+    ) / 127.0
+    xq = jnp.clip(jnp.round(xf / s), -127.0, 127.0).astype(jnp.int8)
+    return xq, s
+
+
+def _deq_dyn(acc, p, s_in):
+    """dequant with runtime input scale: per-cout weight scale x per-sample
+    activation scale (weights from the unfolded "q"/"s" entries)."""
+    return acc.astype(jnp.float32) * (p["s"] * s_in) + p["bias"]
+
+
+def _light53_i8_xla_dyn(x, p):
+    xq, sx = _quant_dyn_sample(x)
+    a = jnp.maximum(_deq_dyn(_qconv_xla(xq, p["conv_a1"]["q"]), p["conv_a1"], sx), 0.0)
+    aq, sa = _quant_dyn_sample(a)
+    a = _deq_dyn(_qconv_xla(aq, p["conv_a2"]["q"]), p["conv_a2"], sa)
+    b = jnp.maximum(_deq_dyn(_qconv_xla(xq, p["conv_b1"]["q"]), p["conv_b1"], sx), 0.0)
+    bq, sb = _quant_dyn_sample(b)
+    b = _deq_dyn(_qconv_xla(bq, p["conv_b2"]["q"]), p["conv_b2"], sb)
+    return (0.9 * x.astype(jnp.float32) + 0.1 * (a + b)).astype(x.dtype)
+
+
 def _require_act(qparams):
     if "actc" not in qparams.get("body53_0", {}):
         raise ValueError(
@@ -356,15 +386,107 @@ def apply_didbl_int8_xla_body(
     return h
 
 
-def apply_didbl_int8_xla_tail(
-    qparams: Any, h: jnp.ndarray, n_tail53: int = 2, scale: int = 4
+def _tiled_chain(h, fns, radius_per_fn, tile):
+    """Run a chain of spatially-local block fns over shifted spatial tiles.
+
+    ``h`` is (1, H, W, C); the chain's zero-pad pollution propagates inward
+    ``sum(radius_per_fn)`` px, so tiles carry that halo and only the owned
+    core is stitched back — BIT-exact vs the whole-frame chain (same shifted
+    -grid argument as the engine's split2d tail, tiling/tiles.py).
+
+    Why: measured on v5e (ROADMAP r2 map), int8 convs run at ~291
+    TFLOP/s-equiv on <=256^2 spatials but ~175 at 512^2 — the 1x512^2 BODY
+    became the biggest int8 loss (~30 ms/frame) once the tail was tiled.
+    This moves the body into the fast regime for a (T/t)^2 halo cost.
+    """
+    from image_enhance_keras_tpu.tiling import (
+        shift_grid_axis,
+        shifted_extract_indices,
+        shifted_stitch_indices,
+    )
+
+    halo = int(sum(radius_per_fn))
+    H, W, c = int(h.shape[1]), int(h.shape[2]), h.shape[-1]
+    if min(H, W) <= tile + 2 * halo or h.shape[0] != 1:
+        for f in fns:
+            h = f(h)
+        return h
+    T_r, starts_r, _ = shift_grid_axis(H, tile, halo)
+    T_c, starts_c, _ = shift_grid_axis(W, tile, halo)
+    n_r, n_c = len(starts_r), len(starts_c)
+    ex_r = jnp.asarray(shifted_extract_indices(H, tile, halo))
+    ex_c = jnp.asarray(shifted_extract_indices(W, tile, halo))
+    st_r = jnp.asarray(shifted_stitch_indices(H, tile, halo, 1))
+    st_c = jnp.asarray(shifted_stitch_indices(W, tile, halo, 1))
+
+    x = jnp.take(h[0], ex_r, axis=0)
+    x = jnp.take(x, ex_c, axis=1)
+    x = x.reshape(n_r, T_r, n_c, T_c, c).transpose(0, 2, 1, 3, 4)
+    x = x.reshape(n_r * n_c, T_r, T_c, c)
+    for f in fns:
+        x = f(x)
+    y = x.reshape(n_r, n_c, T_r, T_c, c).transpose(0, 2, 1, 3, 4)
+    y = y.reshape(n_r * T_r, n_c * T_c, c)
+    y = jnp.take(y, st_r, axis=0)
+    y = jnp.take(y, st_c, axis=1)
+    return y[None]
+
+
+#: receptive-field radii of the block kernels (SAME zero-pad pollution per
+#: block): light53 = max(3x3 then 5x5) = 3; light = two 3x3 = 2.
+_LIGHT53_RADIUS = 3
+_LIGHT_RADIUS = 2
+
+
+def apply_didbl_int8_xla_body_tiled(
+    qparams: Any,
+    x: jnp.ndarray,
+    n_body53: int = 16,
+    n_light: int = 6,
+    tile: int = 256,
+    seg: int = 4,
 ) -> jnp.ndarray:
-    """XLA-int8 x4 upsample + post-upsample blocks + out conv."""
+    """XLA-int8 body with per-segment spatial tiling (ROADMAP r2 item 1).
+
+    Blocks are grouped into segments of ``seg``; each segment runs over
+    shifted (tile + 2*halo)^2 tiles with halo = the segment's summed
+    receptive radius, re-stitched between segments.  seg trades halo-overlap
+    FLOPs (larger seg -> bigger halo) against extract/stitch HBM traffic
+    (smaller seg -> more round-trips); tile keeps the convs in the <=256^2
+    int8 rate regime.  Output is bit-exact vs apply_didbl_int8_xla_body.
+    """
+    _require_act(qparams)
+    h = x.astype(jnp.bfloat16)
+    h = jnp.maximum(_conv(h, qparams["level1"]), 0.0)
+    chain = [
+        (lambda b, i=i: _light53_i8_xla(b, qparams[f"body53_{i}"]), _LIGHT53_RADIUS)
+        for i in range(n_body53)
+    ] + [
+        (lambda b, i=i: _light_i8_xla(b, qparams[f"light_{i}"]), _LIGHT_RADIUS)
+        for i in range(n_light)
+    ]
+    for k in range(0, len(chain), max(1, seg)):
+        fns = [f for f, _ in chain[k : k + seg]]
+        radii = [r for _, r in chain[k : k + seg]]
+        h = _tiled_chain(h, fns, radii, tile)
+    return h
+
+
+def apply_didbl_int8_xla_tail(
+    qparams: Any, h: jnp.ndarray, n_tail53: int = 2, scale: int = 4,
+    dynamic: bool = False,
+) -> jnp.ndarray:
+    """XLA-int8 x4 upsample + post-upsample blocks + out conv.
+
+    ``dynamic=True``: tail blocks quantize with per-sample runtime scales
+    (engine ``int8_dynamic_tail``) — in split2d mode that is per-TILE, the
+    scheme r2 measured at a 0.0004 SSIM-Y delta."""
     from image_enhance_keras_tpu.ops.resize import upsample_phase_tf1
 
     h = upsample_phase_tf1(h.astype(jnp.bfloat16), scale)
     for i in range(n_tail53):
-        h = _light53_i8_xla(h, qparams[f"tail53_{i}"])
+        p = qparams[f"tail53_{i}"]
+        h = _light53_i8_xla_dyn(h, p) if dynamic else _light53_i8_xla(h, p)
     out = _conv(h, qparams["out"])
     return jnp.maximum(out, 0.0).astype(jnp.float32)
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -198,10 +199,28 @@ def upsample_phase_tf1(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     (out, in) resize matmul whose rows are 99.6% zeros at f=4.
 
     ``x`` is (..., H, W, C); returns (..., f*H, f*W, C) in ``x``'s dtype.
+
+    With ``IEK_PALLAS_UPSAMPLE=1`` on a TPU backend, 4-D inputs route to the
+    streaming Pallas kernel (ops/pallas/upsample.py) — one HBM read, one
+    HBM write, bf16-bit-identical to this XLA construction; the XLA path's
+    stack/reshape interleaves were measured at ~91 GB/s (r2).
     """
     f = int(factor)
     if f == 1:
         return x
+
+    import os as _os
+
+    if (
+        _os.environ.get("IEK_PALLAS_UPSAMPLE", "0") == "1"
+        and x.ndim == 4
+        and jax.default_backend() == "tpu"
+    ):
+        from image_enhance_keras_tpu.ops.pallas.upsample import (
+            upsample_phase_tf1_pallas,
+        )
+
+        return upsample_phase_tf1_pallas(x, f)
 
     def axis_up(a: jnp.ndarray, axis: int) -> jnp.ndarray:
         # transpose-free: shift along `axis` for the edge clamp, stack the f

@@ -92,7 +92,8 @@ class ShardedResolver(SuperResolver):
         self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
 
     def _pipeline_for(self, plan):
-        fn = self._jitted.get(plan)
+        key = (plan, self._fwd_key())
+        fn = self._jitted.get(key)
         if fn is not None:
             return fn
 
@@ -144,7 +145,7 @@ class ShardedResolver(SuperResolver):
 
         repl = NamedSharding(mesh, P())
         fn = jax.jit(run, in_shardings=(repl, repl), out_shardings=repl)
-        self._jitted[plan] = fn
+        self._jitted[key] = fn
         return fn
 
     # -- whole-frame modes: shard the spatial height axis ------------------
@@ -155,7 +156,7 @@ class ShardedResolver(SuperResolver):
         return NamedSharding(self.mesh, P())
 
     def _fast_fn(self, hw):
-        key = ("fast", tuple(hw))
+        key = ("fast", tuple(hw), self._fwd_key())
         fn = self._jitted.get(key)
         if fn is None:
             forward = self._forward_fn()
@@ -173,7 +174,7 @@ class ShardedResolver(SuperResolver):
         return fn
 
     def _frame_fn(self, hw):
-        key = ("frame", tuple(hw))
+        key = ("frame", tuple(hw), self._fwd_key())
         fn = self._jitted.get(key)
         if fn is None:
             forward = self._forward_fn()
@@ -199,7 +200,7 @@ class ShardedResolver(SuperResolver):
         split silently)."""
         if getattr(self, "split_tile_w", None):
             return self._split_fn_2d(hw)
-        key = ("split", tuple(hw), self.split_tile)
+        key = ("split", tuple(hw), self.split_tile, self._fwd_key())
         fn = self._jitted.get(key)
         if fn is not None:
             return fn
@@ -255,6 +256,7 @@ class ShardedResolver(SuperResolver):
         the other spatially-sharded modes; tests/test_parallel.py)."""
         key = (
             "split2d", tuple(hw), self.split_tile, int(self.split_tile_w),
+            self._fwd_key(),
             getattr(self, "split2d_chunk", 8),
         )
         fn = self._jitted.get(key)
@@ -320,7 +322,7 @@ class ShardedResolver(SuperResolver):
         t, h, w = frames.shape[:3]
         nd = self.n_devices
         chunk = max(1, frame_chunk) * nd
-        key = ("video", t, h, w, chunk)
+        key = ("video", t, h, w, chunk, self._fwd_key())
         fn = self._jitted.get(key)
         if fn is None:
             forward = self._forward_fn()
@@ -366,7 +368,7 @@ class ShardedResolver(SuperResolver):
         s = step
         h2 = patch + -(-(max(h - patch, 0)) // s) * s
         w2 = patch + -(-(max(w - patch, 0)) // s) * s
-        key = ("avg", h2, w2, patch, s)
+        key = ("avg", h2, w2, patch, s, self._fwd_key())
         fn = self._jitted.get(key)
         if fn is None:
             forward = self._forward_fn()

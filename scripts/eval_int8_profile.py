@@ -37,16 +37,30 @@ def main() -> int:
     print(f"evaluating {len(picked)} images: {[os.path.basename(p) for p in picked]}",
           flush=True)
 
+    # opts are set post-construction (jit caches key on them)
     profiles = {
-        "f32_fast": dict(dtype=None, forward="xla"),
-        "bf16_fast": dict(dtype=jnp.bfloat16, forward="xla"),
-        "int8_fast": dict(dtype=jnp.bfloat16, forward="int8"),
-        "int8_pallas_fast": dict(dtype=jnp.bfloat16, forward="pallas_int8"),
+        "f32_fast": (dict(dtype=None, forward="xla"), {}),
+        "bf16_fast": (dict(dtype=jnp.bfloat16, forward="xla"), {}),
+        # serving default: real-data calibration (engine int8_calib="images")
+        "int8_fast": (dict(dtype=jnp.bfloat16, forward="int8"), {}),
+        # r2 default, kept for comparison: synthetic calibration tiles
+        "int8_fast_syncal": (dict(dtype=jnp.bfloat16, forward="int8"),
+                             {"int8_calib": "synthetic"}),
+        # hybrid: static per-channel body + dynamic per-sample tail
+        "int8_fast_dyntail": (dict(dtype=jnp.bfloat16, forward="int8"),
+                              {"int8_dynamic_tail": True}),
+        "int8_pallas_fast": (dict(dtype=jnp.bfloat16, forward="pallas_int8"), {}),
     }
+    only = os.environ.get("IEK_PROFILES")
+    if only:
+        keep = only.split(",")
+        profiles = {k: v for k, v in profiles.items() if k in keep}
     path = "EVAL_PROFILES.json"
     results = json.load(open(path)) if os.path.exists(path) else {}
-    for name, kw in profiles.items():
+    for name, (kw, opts) in profiles.items():
         r = SuperResolver(model="didbl", weights=weights, mode="fast", **kw)
+        for k, v in opts.items():
+            setattr(r, k, v)
         _, means = evaluate_resolver_on_dir(r, tmp, scale=4, verbose=False)
         results[f"{name}_{len(picked)}img"] = means
         print(json.dumps({name: means}), flush=True)

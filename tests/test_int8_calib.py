@@ -1,0 +1,140 @@
+"""int8 calibration sources: real-image calibration (the serving default),
+synthetic fallback, and the dynamic-tail hybrid (VERDICT r2 next-4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_engine_e2e import _tiny_resolver
+
+
+def test_calib_from_images_shapes():
+    """Real-data calibration crops: common-size LR batch in [0,1] from the
+    committed Set5 GTs, serving degradation applied."""
+    r = _tiny_resolver()
+    calib = r._calib_from_images()
+    assert calib is not None
+    n, h, w, c = calib.shape
+    assert n == 5 and c == 3  # the five Set5 images
+    assert h == w and 16 <= h <= 128
+    assert float(calib.min()) >= 0.0 and float(calib.max()) <= 1.0
+
+
+def test_calib_images_fallback_to_synthetic(caplog, monkeypatch):
+    """Missing calibration dir falls back to synthetic tiles with a log."""
+    import logging
+
+    monkeypatch.setattr(
+        logging.getLogger("image_enhance_keras_tpu"), "propagate", True
+    )
+    r = _tiny_resolver()
+    r.forward_mode = "int8"
+    r.int8_calib_dir = "/nonexistent_calib_dir"
+    with caplog.at_level(logging.WARNING):
+        qp = r._fwd_params()
+    assert qp is not None and "actc" in qp["body53_0"]
+    assert any("falling back to synthetic" in rec.getMessage()
+               for rec in caplog.records)
+
+
+def test_int8_images_calib_forward_runs():
+    """int8 forward with the images calibration source produces sane output
+    close to the f32 forward."""
+    r = _tiny_resolver(mode="fast")
+    img = np.random.default_rng(31).integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    f32 = r.upscale(img).astype(np.int32)
+
+    r8 = _tiny_resolver(mode="fast")
+    r8.forward_mode = "int8"
+    assert r8.int8_calib == "images"  # the serving default
+    out = r8.upscale(img).astype(np.int32)
+    assert out.shape == f32.shape
+    assert np.mean(np.abs(out - f32)) < 8.0  # quantization noise, not garbage
+
+
+def test_int8_dynamic_tail_matches_static_closely():
+    """The dynamic-tail hybrid runs and tracks the static-scale int8 output;
+    programs must not share a jit cache entry (distinct _fwd_key)."""
+    img = np.random.default_rng(32).integers(0, 256, (24, 24, 3), dtype=np.uint8)
+
+    r_static = _tiny_resolver(mode="fast")
+    r_static.forward_mode = "int8"
+    a = r_static.upscale(img).astype(np.int32)
+
+    r_dyn = _tiny_resolver(mode="fast")
+    r_dyn.forward_mode = "int8"
+    r_dyn.int8_dynamic_tail = True
+    b = r_dyn.upscale(img).astype(np.int32)
+    assert b.shape == a.shape
+    assert np.mean(np.abs(b - a)) < 4.0
+
+    # toggling the option on the SAME resolver recompiles (cache-key test)
+    n = len(r_dyn._jitted) + len(r_dyn._jitted_fast)
+    r_dyn.int8_dynamic_tail = False
+    c = r_dyn.upscale(img).astype(np.int32)
+    assert len(r_dyn._jitted) + len(r_dyn._jitted_fast) == n + 1
+    np.testing.assert_array_equal(c, a)
+
+
+def test_int8_dynamic_tail_split2d():
+    """Dynamic per-tile tail in the split2d serving mode (the scheme the r2
+    measurement scored at 0.0004): runs and stays close to whole-frame."""
+    r = _tiny_resolver(mode="split")
+    r.split_tile, r.split_tile_w = 8, 8
+    r.forward_mode = "int8"
+    r.int8_dynamic_tail = True
+    img = np.random.default_rng(33).integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    out = r.upscale(img)
+    assert out.shape == (96, 96, 3)
+
+    r_fast = _tiny_resolver(mode="fast")
+    r_fast.forward_mode = "int8"
+    r_fast.int8_dynamic_tail = True
+    fast = r_fast.upscale(img)
+    # per-tile scales differ from per-frame scales -> small quantization
+    # noise between the two programs, not equality
+    assert np.mean(np.abs(out.astype(np.int32) - fast.astype(np.int32))) < 4.0
+
+
+def test_int8_body_tiling_bitexact():
+    """The per-segment tiled int8 body must be BIT-exact vs the whole-frame
+    int8 body (shifted-grid halo argument, didbl_pallas._tiled_chain), and
+    the engine option must dispatch it."""
+    from image_enhance_keras_tpu.models import didbl_pallas as dp
+    from image_enhance_keras_tpu.models.zoo_int8 import int8_support
+
+    r = _tiny_resolver(mode="fast")
+    r.forward_mode = "int8"
+    qp = r._fwd_params()
+    m = r.module
+
+    x = jnp.asarray(
+        np.random.default_rng(41).random((1, 40, 48, 3)), jnp.float32
+    )
+    whole = np.asarray(dp.apply_didbl_int8_xla_body(
+        qp, x, n_body53=m.n_body53, n_light=m.n_light).astype(jnp.float32))
+    for tile, seg in [(8, 1), (8, 2), (16, 3), (8, 99)]:
+        tiled = np.asarray(dp.apply_didbl_int8_xla_body_tiled(
+            qp, x, n_body53=m.n_body53, n_light=m.n_light, tile=tile, seg=seg,
+        ).astype(jnp.float32))
+        np.testing.assert_array_equal(tiled, whole), (tile, seg)
+
+    # engine dispatch: int8_body_tile routes the tiled body; output matches
+    # the untiled engine program
+    img = np.random.default_rng(42).integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    base = r.upscale(img).astype(np.int32)
+    r_t = _tiny_resolver(mode="fast")
+    r_t.forward_mode = "int8"
+    r_t.int8_body_tile, r_t.int8_body_seg = 8, 2
+    out = r_t.upscale(img).astype(np.int32)
+    assert np.abs(out - base).max() <= 1  # fresh program; rounding boundary
+
+    # split2d composes with the tiled body
+    r_s = _tiny_resolver(mode="split")
+    r_s.split_tile, r_s.split_tile_w = 8, 8
+    r_s.forward_mode = "int8"
+    r_s.int8_body_tile, r_s.int8_body_seg = 8, 2
+    out_s = r_s.upscale(img).astype(np.int32)
+    assert np.abs(out_s - base).max() <= 1

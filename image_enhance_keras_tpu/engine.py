@@ -546,7 +546,8 @@ class SuperResolver:
                 m = module
                 if dyn:
                     tail_fn = lambda qp, h: dp.apply_didbl_int8_xla_tail(
-                        qp, h, n_tail53=m.n_tail53, scale=m.scale, dynamic=True
+                        qp, h, n_tail53=m.n_tail53, scale=m.scale, dynamic=True,
+                        upsampler=getattr(m, "upsampler", "tf1_bilinear"),
                     )
                 if btile:
                     seg = int(getattr(self, "int8_body_seg", 4))

@@ -152,6 +152,7 @@ def calibrate_didbl_act_scales(
     scale: int = 4,
     margin: float = 1.0,
     per_channel: bool = False,
+    upsampler: str = "tf1_bilinear",
 ) -> dict:
     """Post-training activation calibration for the int8 serving path.
 
@@ -196,7 +197,14 @@ def calibrate_didbl_act_scales(
         h = l53(h, params[f"body53_{i}"], f"body53_{i}")
     for i in range(n_light):
         h = light(h, params[f"light_{i}"], f"light_{i}")
-    h = upsample_phase_tf1(h, scale)
+    if upsampler == "subpixel":
+        # alternative head (didbl.py: conv to r^2*C then depth_to_space)
+        from image_enhance_keras_tpu.ops.pixel_shuffle import depth_to_space
+
+        scales["subpixel_conv"] = {"x": amax(h)}
+        h = depth_to_space(_conv(h, params["subpixel_conv"]), scale, order="dcr")
+    else:
+        h = upsample_phase_tf1(h, scale)
     for i in range(n_tail53):
         h = l53(h, params[f"tail53_{i}"], f"tail53_{i}")
     return scales
@@ -209,6 +217,7 @@ def quantize_didbl_params(
     n_tail53: int = 2,
     calib_x: jnp.ndarray | None = None,
     scale: int = 4,
+    upsampler: str = "tf1_bilinear",
 ) -> Any:
     """One-time weight quantization: every residual-block conv becomes
     (int8 kernel, per-out-channel f32 scale, f32 bias); level1/out stay f32
@@ -240,11 +249,21 @@ def quantize_didbl_params(
         calibrate_didbl_act_scales(
             params, calib_x, n_body53=n_body53, n_light=n_light,
             n_tail53=n_tail53, scale=scale, per_channel=True,
+            upsampler=upsampler,
         )
         if calib_x is not None
         else {}
     )
     out = {"level1": params["level1"], "out": params["out"]}
+    if upsampler == "subpixel":
+        # the subpixel head conv carries ~2 light53-blocks' worth of FLOPs
+        # at LR — quantize it like the blocks (folded input-channel scales)
+        blk = params["subpixel_conv"]
+        out["subpixel_conv"] = qconv(blk)
+        if "subpixel_conv" in actc:
+            sc = actc["subpixel_conv"]
+            out["subpixel_conv"]["actc"] = sc
+            fold(out["subpixel_conv"], blk, sc["x"])
     for prefix, n in (("body53", n_body53), ("tail53", n_tail53)):
         for i in range(n):
             name = f"{prefix}_{i}"
@@ -474,16 +493,30 @@ def apply_didbl_int8_xla_body_tiled(
 
 def apply_didbl_int8_xla_tail(
     qparams: Any, h: jnp.ndarray, n_tail53: int = 2, scale: int = 4,
-    dynamic: bool = False,
+    dynamic: bool = False, upsampler: str = "tf1_bilinear",
 ) -> jnp.ndarray:
-    """XLA-int8 x4 upsample + post-upsample blocks + out conv.
+    """XLA-int8 upsample head + post-upsample blocks + out conv.
 
     ``dynamic=True``: tail blocks quantize with per-sample runtime scales
     (engine ``int8_dynamic_tail``) — in split2d mode that is per-TILE, the
-    scheme r2 measured at a 0.0004 SSIM-Y delta."""
+    scheme r2 measured at a 0.0004 SSIM-Y delta.
+    ``upsampler='subpixel'``: int8 subpixel conv + depth_to_space instead
+    of the TF1 bilinear interleave (didbl.py alternative head)."""
     from image_enhance_keras_tpu.ops.resize import upsample_phase_tf1
 
-    h = upsample_phase_tf1(h.astype(jnp.bfloat16), scale)
+    h = h.astype(jnp.bfloat16)
+    if upsampler == "subpixel":
+        from image_enhance_keras_tpu.ops.pixel_shuffle import depth_to_space
+
+        p = qparams["subpixel_conv"]
+        if dynamic:
+            hq, sx = _quant_dyn_sample(h)
+            t = _deq_dyn(_qconv_xla(hq, p["q"]), p, sx)
+        else:
+            t = _deqf(_qconv_xla(_quant_c(h, p["actc"]["x"]), p["qf"]), p)
+        h = depth_to_space(t.astype(jnp.bfloat16), scale, order="dcr")
+    else:
+        h = upsample_phase_tf1(h, scale)
     for i in range(n_tail53):
         p = qparams[f"tail53_{i}"]
         h = _light53_i8_xla_dyn(h, p) if dynamic else _light53_i8_xla(h, p)
@@ -498,13 +531,16 @@ def apply_didbl_int8_xla(
     n_light: int = 6,
     n_tail53: int = 2,
     scale: int = 4,
+    upsampler: str = "tf1_bilinear",
 ) -> jnp.ndarray:
     """(N, H, W, 3) [0,1] -> (N, 4H, 4W, 3): the didbl graph with every
     residual-block conv on XLA's native-rate int8 path (2.0x bf16 measured);
     identity/skip paths stay unquantized, same scheme as the Pallas kernels
     (quality gate: EVAL_PROFILES.json)."""
     h = apply_didbl_int8_xla_body(qparams, x, n_body53=n_body53, n_light=n_light)
-    return apply_didbl_int8_xla_tail(qparams, h, n_tail53=n_tail53, scale=scale)
+    return apply_didbl_int8_xla_tail(
+        qparams, h, n_tail53=n_tail53, scale=scale, upsampler=upsampler
+    )
 
 
 def apply_didbl_int8_body(

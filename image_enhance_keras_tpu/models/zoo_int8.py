@@ -43,7 +43,8 @@ def int8_support(module):
     for models without a split decomposition."""
     cls = type(module).__name__
     if cls == "DifvdsrDouble":
-        if getattr(module, "upsampler", "tf1_bilinear") != "tf1_bilinear":
+        ups = getattr(module, "upsampler", "tf1_bilinear")
+        if ups not in ("tf1_bilinear", "subpixel"):
             return None
         from image_enhance_keras_tpu.models import didbl_pallas as dp
 
@@ -51,12 +52,14 @@ def int8_support(module):
                   n_tail53=module.n_tail53)
         return (
             lambda params, calib: dp.quantize_didbl_params(
-                params, calib_x=calib, scale=module.scale, **kw),
-            lambda qp, x: dp.apply_didbl_int8_xla(qp, x, scale=module.scale, **kw),
+                params, calib_x=calib, scale=module.scale, upsampler=ups, **kw),
+            lambda qp, x: dp.apply_didbl_int8_xla(
+                qp, x, scale=module.scale, upsampler=ups, **kw),
             lambda qp, x: dp.apply_didbl_int8_xla_body(
                 qp, x, n_body53=module.n_body53, n_light=module.n_light),
             lambda qp, h: dp.apply_didbl_int8_xla_tail(
-                qp, h, n_tail53=module.n_tail53, scale=module.scale),
+                qp, h, n_tail53=module.n_tail53, scale=module.scale,
+                upsampler=ups),
         )
     if cls == "Difvdsr4":
         kw = dict(n_head=module.n_head, n_mid=module.n_mid, n_tail=module.n_tail,

@@ -255,4 +255,5 @@ def test_int8_support_dispatch():
     assert int8_support(Difvdsr4(features=16)) is not None
     sup = int8_support(Difvdsr(features=16))
     assert sup is not None and sup[2] is None  # no split decomposition
-    assert int8_support(DifvdsrDouble(features=16, upsampler="subpixel")) is None
+    # subpixel head gained int8 support in r3 (folded subpixel conv)
+    assert int8_support(DifvdsrDouble(features=16, upsampler="subpixel")) is not None

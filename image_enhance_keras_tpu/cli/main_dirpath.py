@@ -23,7 +23,15 @@ log = get_logger(__name__)
 
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(description="x4 super-resolve every image in a directory")
+    p = argparse.ArgumentParser(
+        description="x4 super-resolve every image in a directory",
+        epilog=(
+            "Defaults reproduce the reference's tiled output bit-for-bit "
+            "(the slowest mode). For serving throughput use the quality-"
+            "gated profile: --dtype bfloat16 --mode split --forward int8 "
+            "--split-tile-w 128 (~4x faster; see SERVING.md)."
+        ),
+    )
     p.add_argument("imgpath", help="directory of images to upscale")
     p.add_argument("--model", default="didbl", choices=sorted(MODEL_REGISTRY))
     p.add_argument("--scale", default=1, type=int, help="scale label used in output names")
@@ -33,8 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(bit-identical to fast, bounded memory — the serving default)")
     p.add_argument("--forward", default="xla",
                    choices=["xla", "int8", "pallas", "pallas_chain", "pallas_int8"],
-                   help="conv tower execution path (pallas = fused VMEM "
-                        "kernels; pallas_int8 = quantized 2x-rate MXU serving)")
+                   help="conv tower execution path (int8 = XLA native-rate "
+                        "int8 convs, the production serving dtype; pallas* = "
+                        "hand-written VMEM kernels, kept for research)")
     p.add_argument("--save_intermediate", default=False, action="store_true")
     p.add_argument("--suffix", default="scaled", help="suffix of output images")
     p.add_argument("--patch_size", default=96, type=int, help="tile size (reference: 96)")

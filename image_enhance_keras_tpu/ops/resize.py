@@ -201,9 +201,11 @@ def upsample_phase_tf1(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     ``x`` is (..., H, W, C); returns (..., f*H, f*W, C) in ``x``'s dtype.
 
     With ``IEK_PALLAS_UPSAMPLE=1`` on a TPU backend, 4-D inputs route to the
-    streaming Pallas kernel (ops/pallas/upsample.py) — one HBM read, one
-    HBM write, bf16-bit-identical to this XLA construction; the XLA path's
-    stack/reshape interleaves were measured at ~91 GB/s (r2).
+    streaming Pallas kernel (ops/pallas/upsample.py) — bf16-bit-identical,
+    5.3x faster in isolation (110.6 vs 20.9 GB/s at 512^2 x 128ch, v5e)
+    but a measured END-TO-END NEGATIVE inside the full model (the XLA
+    construction fuses into the surrounding convs; see the kernel module
+    docstring) — hence default off.
     """
     f = int(factor)
     if f == 1:
@@ -214,6 +216,7 @@ def upsample_phase_tf1(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     if (
         _os.environ.get("IEK_PALLAS_UPSAMPLE", "0") == "1"
         and x.ndim == 4
+        and int(x.shape[-1]) % 128 == 0  # feature maps (lane-tile channels)
         and jax.default_backend() == "tpu"
     ):
         from image_enhance_keras_tpu.ops.pallas.upsample import (

@@ -18,6 +18,9 @@ from image_enhance_keras_tpu.ops.pallas.upsample import upsample_phase_tf1_palla
         ((2, 6, 8, 128), 2),
         ((1, 5, 8, 128), 4),   # H not divisible by default block_rows path
         ((1, 12, 8, 64), 4),   # C != 128
+        ((1, 14, 14, 128), 4),  # W not x8: single padded 16-col block
+        ((2, 134, 134, 128), 4),  # the split2d halo-tile shape (W8=136)
+        ((1, 10, 150, 128), 4),  # W8=152 > 136: multi-block 128-col padding
     ],
 )
 def test_matches_xla_interleave(shape, f):

@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["val_ssim_y", "val_psnr_y", "val_psnr", "val_loss"],
                    help="best-checkpoint metric; val_ssim_y = the full-image "
                         "scoring-protocol gate (default)")
+    p.add_argument("--synthetic", type=int, default=0, metavar="N",
+                   help="add N rich procedural training images (textured "
+                        "dead-leaves + 1/f noise, data/pipeline.py) — train "
+                        "with no dataset at all, or pad a small one; colors "
+                        "are sampled from --train-dir images when given")
     return p
 
 
@@ -68,6 +73,13 @@ def main(argv=None) -> int:
 
     train_images = load_image_dir(args.train_dir) if args.train_dir else None
     val_images = load_image_dir(args.val_dir) if args.val_dir else None
+    if args.synthetic:
+        from image_enhance_keras_tpu.data.pipeline import rich_synthetic_images
+
+        synth = rich_synthetic_images(
+            args.synthetic, 256, seed=0, palette_images=train_images
+        )
+        train_images = (train_images or []) + synth
     mesh = None
     if args.devices > 1:
         from image_enhance_keras_tpu.parallel import make_mesh

@@ -22,7 +22,15 @@ from image_enhance_keras_tpu.ops.filters import gaussian_blur
 from image_enhance_keras_tpu.ops.resize import resize_weight_matrix
 from image_enhance_keras_tpu.data.io import imread, list_images
 
-__all__ = ["PatchSampler", "degrade_batch_on_device", "load_image_dir", "synthetic_images"]
+__all__ = [
+    "PatchSampler",
+    "degrade_batch_on_device",
+    "load_image_dir",
+    "synthetic_images",
+    "dead_leaves_images",
+    "pink_noise_images",
+    "rich_synthetic_images",
+]
 
 
 def load_image_dir(path: str, limit: int | None = None) -> list[np.ndarray]:
@@ -50,6 +58,137 @@ def synthetic_images(n: int = 8, size: int = 128, seed: int = 0) -> list[np.ndar
         img += rng.normal(0, 8, img.shape)
         out.append(np.clip(img, 0, 255).astype(np.uint8))
     return out
+
+
+def pink_noise_images(
+    n: int = 8, size: int = 256, seed: int = 0
+) -> list[np.ndarray]:
+    """1/f^alpha ("pink") random fields with channel-correlated color.
+
+    Natural images have ~1/f amplitude spectra; training a restorer on
+    spectra-matched noise teaches broadband texture statistics that the
+    sinusoid/stripe corpus (synthetic_images) lacks.
+    """
+    rng = np.random.default_rng(seed)
+    fy = np.fft.fftfreq(size)[:, None]
+    fx = np.fft.rfftfreq(size)[None, :]
+    rad = np.sqrt(fy * fy + fx * fx)
+    rad[0, 0] = 1.0
+    out = []
+    for _ in range(n):
+        alpha = rng.uniform(0.8, 1.5)
+        amp = rad ** (-alpha)
+        fields = []
+        for _c in range(3):
+            phase = rng.standard_normal((size, size))
+            f = np.fft.irfft2(np.fft.rfft2(phase) * amp, s=(size, size))
+            f = (f - f.mean()) / (f.std() + 1e-8)
+            fields.append(f)
+        fields = np.stack(fields, axis=-1)
+        # luminance-correlated color: mostly-shared field + per-channel part
+        w = rng.uniform(0.6, 0.95)
+        shared = fields[..., :1]
+        img = 127.0 + rng.uniform(30, 55) * (
+            w * shared + (1.0 - w) * fields
+        )
+        out.append(np.clip(img, 0, 255).astype(np.uint8))
+    return out
+
+
+def dead_leaves_images(
+    n: int = 8,
+    size: int = 256,
+    seed: int = 0,
+    palette_images: list[np.ndarray] | None = None,
+    textured: bool = True,
+) -> list[np.ndarray]:
+    """Dead-leaves occlusion images: disks with a power-law (r^-3) radius
+    distribution painted back-to-front — the classic scale-invariant model
+    of natural-image edge/occlusion statistics (used for fully-synthetic
+    restoration training).  ``palette_images`` supplies realistic colors
+    (pixels sampled from those images — pass the TRAIN-side images only in
+    held-out protocols); ``textured`` shades each disk with a random linear
+    gradient so cells carry low-frequency content, and ~half the images get
+    a 0.5 px blur so edges are not all perfectly sharp.
+    """
+    rng = np.random.default_rng(seed)
+    rmin, rmax = 4.0, size / 2.0
+    a2, b2 = rmin**-2, rmax**-2
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    pal = None
+    if palette_images:
+        cols = [
+            im.reshape(-1, 3)[rng.integers(0, im.shape[0] * im.shape[1], 4096)]
+            for im in palette_images
+        ]
+        pal = np.concatenate(cols, axis=0).astype(np.float32)
+    out = []
+    for _ in range(n):
+        img = np.empty((size, size, 3), np.float32)
+        img[:] = rng.uniform(0, 255, 3)
+        covered = np.zeros((size, size), bool)
+        for _d in range(600):
+            u = rng.random()
+            r = float((a2 - u * (a2 - b2)) ** -0.5)
+            cy, cx = rng.uniform(-r, size + r), rng.uniform(-r, size + r)
+            y0, y1 = max(int(cy - r), 0), min(int(cy + r) + 1, size)
+            x0, x1 = max(int(cx - r), 0), min(int(cx + r) + 1, size)
+            if y0 >= y1 or x0 >= x1:
+                continue
+            m = (yy[y0:y1, x0:x1] - cy) ** 2 + (xx[y0:y1, x0:x1] - cx) ** 2 <= r * r
+            if not m.any():
+                continue
+            if pal is not None:
+                col = pal[rng.integers(0, len(pal))]
+            else:
+                col = rng.uniform(0, 255, 3).astype(np.float32)
+            patch = np.broadcast_to(col, (y1 - y0, x1 - x0, 3)).copy()
+            if textured:
+                gy, gx = rng.uniform(-1, 1, 2)
+                ramp = (
+                    gy * (yy[y0:y1, x0:x1] - cy) + gx * (xx[y0:y1, x0:x1] - cx)
+                ) / max(r, 1.0)
+                patch = patch + rng.uniform(5, 30) * ramp[..., None]
+            img[y0:y1, x0:x1][m] = patch[m]
+            covered[y0:y1, x0:x1] |= m
+            if _d % 50 == 49 and covered.all():
+                break
+        if rng.random() < 0.5:
+            # separable [1 2 1]/4 blur ~ 0.5 px: sub-pixel-soft edges
+            k = np.array([0.25, 0.5, 0.25], np.float32)
+            img = np.apply_along_axis(
+                lambda v: np.convolve(v, k, mode="same"), 0, img
+            )
+            img = np.apply_along_axis(
+                lambda v: np.convolve(v, k, mode="same"), 1, img
+            )
+        out.append(np.clip(img, 0, 255).astype(np.uint8))
+    return out
+
+
+def rich_synthetic_images(
+    n: int = 48,
+    size: int = 256,
+    seed: int = 0,
+    palette_images: list[np.ndarray] | None = None,
+) -> list[np.ndarray]:
+    """Mixed procedural corpus for training without a mounted dataset:
+    1/2 textured dead-leaves (occlusion edges at all scales), 1/4 pink
+    noise (natural spectra), 1/8 sharp dead-leaves, 1/8 legacy
+    sinusoid/stripe textures.  Deterministic per (n, size, seed)."""
+    n_dl = n // 2
+    n_pink = n // 4
+    n_sharp = n // 8
+    n_legacy = n - n_dl - n_pink - n_sharp
+    imgs = (
+        dead_leaves_images(n_dl, size, seed, palette_images, textured=True)
+        + pink_noise_images(n_pink, size, seed + 1)
+        + dead_leaves_images(
+            n_sharp, size, seed + 2, palette_images, textured=False
+        )
+        + synthetic_images(n_legacy, size, seed + 3)
+    )
+    return imgs
 
 
 class PatchSampler:

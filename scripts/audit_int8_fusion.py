@@ -1,0 +1,124 @@
+"""int8 epilogue fusion audit (ROADMAP perf item): does XLA fuse the
+quantize (bf16 -> s8 round/clip) and dequant (s32 -> bf16 scale) chains
+around each conv into the conv fusions, or does it materialise int32 conv
+outputs / standalone convert kernels in HBM?
+
+Method: compile (no run) the production int8 programs for the TPU backend
+and inspect the optimized HLO + XLA's cost model:
+  * count `convolution` ops by operand dtype (s8 vs bf16),
+  * count top-level fusions whose root/body contains convert/round chains
+    (fused epilogues) vs standalone convert/copy instructions (materialised
+    boundaries),
+  * report cost_analysis bytes-accessed vs the analytic minimum
+    (weights + in + out once), flops, and the implied roofline ms at
+    819 GB/s HBM.
+
+Run:  python scripts/audit_int8_fusion.py          (TPU relay, compile only)
+Env: IEK_AUDIT_SIZE (512), IEK_AUDIT_CHUNK (8) for the split2d tail tile
+batch (134 = 128 + 2*3 halo at the serving geometry).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _analyze(name: str, lowered, nbytes_min: float) -> dict:
+    compiled = lowered.compile()
+    txt = compiled.as_text()
+    lines = txt.splitlines()
+    convs = [ln for ln in lines if "convolution(" in ln or " convolution " in ln]
+    s8_convs = [ln for ln in convs if re.search(r"convolution\(.*s8", ln) or "s8[" in ln]
+    # top-level (non-nested) instructions of the entry/fused computations
+    standalone_convert = [
+        ln for ln in lines
+        if re.match(r"\s+\S+ = (bf16|f32|s8|s32)\[[^\]]*\] convert\(", ln)
+        and "fusion" not in ln
+    ]
+    copies = [ln for ln in lines if re.search(r"\] copy\(", ln)]
+    fusions = [ln for ln in lines if re.search(r"\] fusion\(", ln)]
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        bytes_acc = float(ca.get("bytes accessed", float("nan")))
+        flops = float(ca.get("flops", float("nan")))
+    except Exception as e:  # noqa: BLE001
+        bytes_acc, flops = float("nan"), float("nan")
+        print(f"cost_analysis failed: {e}", file=sys.stderr)
+    rep = {
+        "program": name,
+        "conv_ops": len(convs),
+        "s8_conv_ops": len(s8_convs),
+        "standalone_converts": len(standalone_convert),
+        "copy_ops": len(copies),
+        "fusion_ops": len(fusions),
+        "bytes_accessed_GB": round(bytes_acc / 1e9, 3),
+        "bytes_min_GB": round(nbytes_min / 1e9, 3),
+        "traffic_x_min": round(bytes_acc / nbytes_min, 2) if nbytes_min else None,
+        "roofline_ms_at_819GBs": round(bytes_acc / 819e9 * 1e3, 2),
+        "tflops": round(flops / 1e12, 2),
+    }
+    print(json.dumps(rep), flush=True)
+    return rep
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from image_enhance_keras_tpu.engine import SuperResolver
+    from image_enhance_keras_tpu.models import didbl_pallas as dp
+
+    size = int(os.environ.get("IEK_AUDIT_SIZE", "512"))
+    chunk = int(os.environ.get("IEK_AUDIT_CHUNK", "8"))
+
+    r = SuperResolver(model="didbl", dtype=jnp.bfloat16, forward="int8")
+    qp = r._fwd_params()
+    m = r.module
+
+    # --- full int8 fast forward at size^2 --------------------------------
+    x = jnp.zeros((1, size, size, 3), jnp.float32)
+    fwd = jax.jit(lambda qp, x: dp.apply_didbl_int8_xla(
+        qp, x, n_body53=m.n_body53, n_light=m.n_light, n_tail53=m.n_tail53,
+        scale=m.scale))
+    # analytic min traffic: uint-ish in + f32 out + weights once; feature
+    # maps ideally stay fused (body 512^2x128 bf16 between blocks is the
+    # real question — count it once per block boundary read+write)
+    w_bytes = 1.55e6  # ~1.5M params int8
+    min_b = size * size * 3 * 4 + 16 * size * size * 3 * 4 + w_bytes
+    f = _analyze(f"int8_fast_{size}", fwd.lower(qp, x), min_b)
+
+    # --- split2d tail chunk (the serving mode's hot program) -------------
+    t = 128 + 2 * 3
+    h = jnp.zeros((chunk, t, t, 128), jnp.bfloat16)
+    tail = jax.jit(lambda qp, h: dp.apply_didbl_int8_xla_tail(
+        qp, h, n_tail53=m.n_tail53, scale=m.scale))
+    min_tail = (chunk * t * t * 128 * 2          # read body tiles bf16
+                + chunk * (4 * t) ** 2 * 128 * 1  # s8 upsampled map (ideal)
+                + chunk * (4 * t) ** 2 * 3 * 4    # f32 out
+                + w_bytes)
+    tl = _analyze(f"int8_split2d_tail_c{chunk}", tail.lower(qp, h), min_tail)
+
+    # --- int8 body at size^2 (whole-frame, the 45 ms piece) --------------
+    body = jax.jit(lambda qp, x: dp.apply_didbl_int8_xla_body(
+        qp, x, n_body53=m.n_body53, n_light=m.n_light))
+    # per-block boundary: bf16 feature map written+read once per block is
+    # the fused-ideal (skip connections force materialisation)
+    blocks = m.n_body53 + m.n_light
+    min_body = (size * size * 3 * 4
+                + 2 * blocks * size * size * 128 * 2 + w_bytes)
+    bd = _analyze(f"int8_body_{size}", body.lower(qp, x), min_body)
+
+    print(json.dumps({"audit": [f, tl, bd]}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

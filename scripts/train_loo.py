@@ -38,12 +38,17 @@ def main() -> int:
     spe = 500
     epochs = max(1, steps // spe)
     only = os.environ.get("IEK_LOO_ONLY")  # comma list of fold names
+    # corpus=rich: textured dead-leaves + pink-noise procedural corpus
+    # (data/pipeline.rich_synthetic_images) with colors sampled from the
+    # fold's TRAIN-side images only; writes EVAL_LOO_RICH.json so the
+    # legacy-corpus numbers stay comparable.
+    corpus = os.environ.get("IEK_LOO_CORPUS", "legacy")
 
     gts = {n: imread(f"data_set5/{n}_GT.png") for n in SET5}
-    synth = synthetic_images(16, 256)
+    synth = synthetic_images(16, 256) if corpus == "legacy" else None
 
     results = {"steps_per_fold": steps, "folds": {}}
-    out_path = "EVAL_LOO.json"
+    out_path = "EVAL_LOO.json" if corpus == "legacy" else "EVAL_LOO_RICH.json"
     if os.path.exists(out_path):
         results = json.load(open(out_path))
         results["steps_per_fold"] = steps
@@ -55,8 +60,19 @@ def main() -> int:
             print(f"fold {fold}: already done, skipping", flush=True)
             continue
         t0 = time.time()
-        train_imgs = [gts[n] for n in SET5 if n != fold] + list(synth)
-        ckpt_dir = f"/tmp/loo_{fold}"
+        fold_gts = [gts[n] for n in SET5 if n != fold]
+        if corpus == "legacy":
+            fold_synth = list(synth)
+        else:
+            from image_enhance_keras_tpu.data.pipeline import (
+                rich_synthetic_images,
+            )
+
+            fold_synth = rich_synthetic_images(
+                48, 256, seed=0, palette_images=fold_gts
+            )
+        train_imgs = fold_gts + fold_synth
+        ckpt_dir = f"/tmp/loo_{corpus}_{fold}"
         cfg = Config(
             model="didbl",
             lr=2e-4,
@@ -95,8 +111,14 @@ def main() -> int:
         }
         results["protocol"] = (
             "leave-one-out over Set5: each image scored by a model trained "
-            "only on the other four GTs + 16 procedural synthetic textures; "
-            "scorpath protocol (crop 10, Y-SSIM data_range 255)"
+            "only on the other four GTs + "
+            + (
+                "16 procedural synthetic textures"
+                if corpus == "legacy"
+                else "48 rich procedural images (textured dead-leaves + "
+                "pink noise, colors sampled from train-side GTs only)"
+            )
+            + "; scorpath protocol (crop 10, Y-SSIM data_range 255)"
         )
         with open(out_path, "w") as f:
             json.dump(results, f, indent=2)

@@ -88,3 +88,27 @@ def test_unified_front_door(tmp_path, capsys):
     imwrite(str(tmp_path / "x.png"), gt)
     imwrite(str(tmp_path / "x_scaled(1x).png"), gt)
     assert main(["score", str(tmp_path)]) == 0
+
+
+def test_learn_cli_synthetic_corpus(tmp_path, monkeypatch):
+    """--synthetic N trains with the rich procedural corpus and no dataset
+    (cli/learn.py; corpus in data/pipeline.py)."""
+    from image_enhance_keras_tpu.train import trainer as trainer_mod
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+
+    tiny = DifvdsrDouble(features=8, n_body53=1, n_light=1, n_tail53=0)
+    spec = ModelSpec("didbl", lambda **k: tiny, 4, False, "tiny", "w")
+    monkeypatch.setattr(
+        trainer_mod, "get_model", lambda name, dtype=None: (tiny, spec)
+    )
+    from image_enhance_keras_tpu.cli.learn import main
+
+    ckpt = tmp_path / "ck"
+    rc = main([
+        "--synthetic", "4", "--epochs", "1", "--steps-per-epoch", "2",
+        "--batch-size", "2", "--lr-patch", "16", "--monitor", "val_psnr",
+        "--checkpoint-dir", str(ckpt),
+    ])
+    assert rc == 0
+    assert (ckpt / "history.json").exists()

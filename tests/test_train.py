@@ -266,3 +266,32 @@ def test_difv4_x2_forward_and_split(tmp_path):
     assert fast.shape == (48, 40, 3)
     split = np.asarray(r._split_fn(hw)(r.params, jnp.asarray(img)))
     np.testing.assert_array_equal(split, fast)
+
+
+def test_rich_synthetic_corpus_properties():
+    """Dead-leaves / pink-noise corpus: deterministic, well-conditioned
+    uint8 images with nontrivial structure (data/pipeline.py)."""
+    from image_enhance_keras_tpu.data.pipeline import (
+        dead_leaves_images,
+        pink_noise_images,
+        rich_synthetic_images,
+    )
+
+    pal = [np.random.default_rng(1).integers(0, 256, (32, 32, 3), dtype=np.uint8)]
+    imgs = rich_synthetic_images(8, 64, seed=0, palette_images=pal)
+    assert len(imgs) == 8
+    for im in imgs:
+        assert im.shape == (64, 64, 3) and im.dtype == np.uint8
+        assert im.std() > 5.0  # not flat
+    # deterministic per seed
+    a = dead_leaves_images(1, 48, seed=7)[0]
+    b = dead_leaves_images(1, 48, seed=7)[0]
+    np.testing.assert_array_equal(a, b)
+    c = dead_leaves_images(1, 48, seed=8)[0]
+    assert not np.array_equal(a, c)
+    # pink noise has falling spectra: low-freq energy dominates high-freq
+    p = pink_noise_images(1, 64, seed=3)[0].astype(np.float32).mean(axis=-1)
+    spec = np.abs(np.fft.rfft2(p - p.mean()))
+    lo = spec[:8, :8].sum()
+    hi = spec[24:32, 24:32].sum()
+    assert lo > 5 * hi

@@ -22,6 +22,7 @@ def main() -> int:
 
     gt_dir = sys.argv[1] if len(sys.argv) > 1 else "data_set5"
     n_images = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    model = os.environ.get("IEK_MODEL", "didbl")
     weights = os.environ.get("IEK_WEIGHTS", "weights_Double/didbl_set5demo.npz")
 
     # limit to n images (compile cost: one program per distinct size)
@@ -57,18 +58,20 @@ def main() -> int:
         profiles = {k: v for k, v in profiles.items() if k in keep}
     path = "EVAL_PROFILES.json"
     results = json.load(open(path)) if os.path.exists(path) else {}
+    tag = "" if model == "didbl" else f"{model}_"
     for name, (kw, opts) in profiles.items():
-        r = SuperResolver(model="didbl", weights=weights, mode="fast", **kw)
+        r = SuperResolver(model=model, weights=weights, mode="fast", **kw)
         for k, v in opts.items():
             setattr(r, k, v)
         _, means = evaluate_resolver_on_dir(r, tmp, scale=4, verbose=False)
-        results[f"{name}_{len(picked)}img"] = means
+        results[f"{tag}{name}_{len(picked)}img"] = means
         print(json.dumps({name: means}), flush=True)
     with open(path, "w") as f:
         json.dump(results, f, indent=2)
 
     k = f"{len(picked)}img"
-    d = results[f"bf16_fast_{k}"]["ssim_y"] - results[f"int8_fast_{k}"]["ssim_y"]
+    d = (results[f"{tag}bf16_fast_{k}"]["ssim_y"]
+         - results[f"{tag}int8_fast_{k}"]["ssim_y"])
     print(json.dumps({"int8_ssim_y_delta_vs_bf16": round(d, 5),
                       "gate": "PASS" if abs(d) <= 0.003 else "FAIL"}), flush=True)
     shutil.rmtree(tmp, ignore_errors=True)

@@ -68,8 +68,9 @@ def main() -> int:
                 rich_synthetic_images,
             )
 
+            n_rich = int(os.environ.get("IEK_LOO_RICH_N", "16"))
             fold_synth = rich_synthetic_images(
-                48, 256, seed=0, palette_images=fold_gts
+                n_rich, 256, seed=0, palette_images=fold_gts
             )
         train_imgs = fold_gts + fold_synth
         ckpt_dir = f"/tmp/loo_{corpus}_{fold}"
@@ -102,6 +103,8 @@ def main() -> int:
             "psnr_y": s.psnr_y, "ssim_y": s.ssim_y, "ssim_rgb": s.ssim_rgb,
             "train_sec": round(time.time() - t0, 1),
         }
+        if corpus != "legacy":
+            results["folds"][fold]["n_synth"] = len(fold_synth)
         print(json.dumps({fold: results["folds"][fold]}), flush=True)
         # aggregate so partial runs still leave a valid file
         done = results["folds"]

@@ -118,8 +118,9 @@ def main() -> int:
             + (
                 "16 procedural synthetic textures"
                 if corpus == "legacy"
-                else "48 rich procedural images (textured dead-leaves + "
-                "pink noise, colors sampled from train-side GTs only)"
+                else f"{len(fold_synth)} rich procedural images "
+                "(textured dead-leaves + pink noise, colors sampled from "
+                "train-side GTs only)"
             )
             + "; scorpath protocol (crop 10, Y-SSIM data_range 255)"
         )

@@ -256,3 +256,31 @@ def test_split2d_hlo_size_is_tile_count_invariant():
     small = hlo_len((16, 16))   # 2x2 tiles
     large = hlo_len((64, 64))   # 8x8 tiles
     assert large < 1.5 * small, (small, large)
+
+
+def test_split2d_trace_cost_tile_count_invariant():
+    """The separable-gather split2d build keeps trace+lower cost flat in
+    tile count (SERVING.md): a 16x-tile program must not cost more than
+    ~3x the small one to lower, and the HLO op count must not scale with
+    tiles (only the constant index vectors grow)."""
+    import re
+    import time
+
+    r = _tiny_resolver()
+    r.split_tile = 8
+    r.split_tile_w = 8
+
+    def lower_one(hw):
+        t0 = time.perf_counter()
+        fn = r._split_fn_2d(hw)
+        img = jnp.zeros((*hw, 3), jnp.uint8)
+        low = fn.lower(r.params, img)
+        dt = time.perf_counter() - t0
+        txt = low.as_text()
+        n_ops = len(re.findall(r"= \w+\[", txt))
+        return dt, n_ops
+
+    dt_small, ops_small = lower_one((32, 32))     # 4x4 = 16 tiles
+    dt_big, ops_big = lower_one((128, 128))       # 16x16 = 256 tiles
+    assert ops_big <= ops_small * 1.5, (ops_small, ops_big)
+    assert dt_big <= max(3.0 * dt_small, dt_small + 2.0), (dt_small, dt_big)

@@ -1,0 +1,79 @@
+"""Re-score the leave-one-out fold checkpoints with the x8 geometric
+self-ensemble (engine ``self_ensemble=True``).
+
+The LOO protocol (scripts/train_loo.py) trains one didbl per fold on the
+other four Set5 GTs + procedural textures and scores the held-out image.
+This script reuses those SAVED checkpoints — no retraining — and adds
+ensemble rows, so the delta isolates exactly what the test-time ensemble
+buys on honestly held-out content.  Results merge into the corpus's JSON
+(EVAL_LOO_RICH.json / EVAL_LOO.json) as ``*_se`` keys plus a ``mean_se``.
+
+Run after train_loo.py, same env: IEK_LOO_CORPUS=rich|legacy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SET5 = ["baby", "bird", "butterfly", "head", "woman"]
+
+
+def main() -> int:
+    from image_enhance_keras_tpu.data.io import imread
+    from image_enhance_keras_tpu.engine import SuperResolver
+    from image_enhance_keras_tpu.eval.evaluate import degrade
+    from image_enhance_keras_tpu.eval.scorer import score_pair
+
+    corpus = os.environ.get("IEK_LOO_CORPUS", "rich")
+    out_path = "EVAL_LOO.json" if corpus == "legacy" else "EVAL_LOO_RICH.json"
+    results = json.load(open(out_path))
+
+    for fold in SET5:
+        row = results["folds"].get(fold)
+        ckpt = f"/tmp/loo_{corpus}_{fold}/best"
+        if corpus == "legacy":
+            ckpt = f"/tmp/loo_{fold}/best"
+        if row is None or not os.path.exists(ckpt):
+            print(f"fold {fold}: no result/checkpoint, skipping", flush=True)
+            continue
+        if "ssim_y_se" in row:
+            print(f"fold {fold}: ensemble row present, skipping", flush=True)
+            continue
+        t0 = time.time()
+        r = SuperResolver(
+            model="didbl", weights=ckpt, mode="fast", self_ensemble=True
+        )
+        gt = imread(f"data_set5/{fold}_GT.png")
+        h, w = (gt.shape[0] // 4) * 4, (gt.shape[1] // 4) * 4
+        gt = gt[:h, :w]
+        sr = r.upscale(degrade(gt, 4))
+        s = score_pair(gt, sr, name=fold, crop_border=10)
+        row.update(
+            psnr_y_se=s.psnr_y, ssim_y_se=s.ssim_y, ssim_rgb_se=s.ssim_rgb,
+            se_sec=round(time.time() - t0, 1),
+        )
+        print(json.dumps({fold: row}), flush=True)
+        done = [v for v in results["folds"].values() if "ssim_y_se" in v]
+        results["mean_se"] = {
+            k: float(np.mean([v[k] for v in done]))
+            for k in ("psnr_y_se", "ssim_y_se", "ssim_rgb_se")
+        }
+        results["ensemble"] = (
+            "x8 geometric self-ensemble (flips/rot90 averaged, engine "
+            "self_ensemble=True) over the same per-fold checkpoints"
+        )
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+    print(json.dumps(results.get("mean_se", {})), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

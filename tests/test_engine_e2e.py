@@ -424,3 +424,41 @@ def test_export_pipeline_int8_split2d_1024_roundtrip(tmp_path):
     assert live.shape == (4096, 4096, 3)
     out = np.asarray(load_forward(path)(img)).astype(np.int32)
     assert np.abs(out - live.astype(np.int32)).max() <= 1
+
+
+def test_self_ensemble_matches_transform_average_oracle():
+    """x8 geometric self-ensemble == independently averaging the eight
+    inverse-transformed single-pass outputs (non-square input, so both the
+    (H,W) and transposed (W,H) programs compile)."""
+    r = _tiny_resolver(mode="fast")
+    r.self_ensemble = True
+    img = np.random.default_rng(3).integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    out = r.upscale(img)
+    assert out.shape == (96, 160, 3) and out.dtype == np.uint8
+
+    acc = np.zeros((96, 160, 3), np.float64)
+    for k in range(4):
+        for flip in (False, True):
+            t = np.rot90(img, k)
+            if flip:
+                t = t[:, ::-1]
+            y = r._upscale_single(np.ascontiguousarray(t)).astype(np.float64)
+            if flip:
+                y = y[:, ::-1]
+            acc += np.rot90(y, -k)
+    expect = np.clip(np.round(acc / 8.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(out, expect)
+
+
+def test_self_ensemble_identity_for_equivariant_upscaler():
+    """If the underlying single-pass upscaler is exactly dihedral-
+    equivariant (nearest x4 via np.kron), the ensemble must return it
+    unchanged — the eight branches agree bit-for-bit."""
+    r = _tiny_resolver()
+    r.self_ensemble = True
+    r._upscale_single = lambda img: np.kron(
+        np.asarray(img), np.ones((4, 4, 1), np.uint8)
+    )
+    img = np.random.default_rng(4).integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    out = r.upscale(img)
+    assert np.array_equal(out, r._upscale_single(img))

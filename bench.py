@@ -30,7 +30,9 @@ IEK_BENCH_MODES (int8_split2d,int8_fast,fast,split2d,split,int8_split,
     records them; also int8_pallas,fast_batch,int8_batch — the
     whole-batch modes need a small IEK_BENCH_BATCH: the batched tail
     exceeds HBM at 4x512^2),
-IEK_BENCH_GLOBAL_TIMEOUT (1700s watchdog that emits whatever is measured).
+IEK_BENCH_GLOBAL_TIMEOUT (1700s watchdog that emits whatever is measured),
+IEK_BENCH_TILE / IEK_BENCH_CHUNK (split2d tile edge / tile-batch chunk,
+    default 128 / 8 — the measured optimum; used by the tile sweep).
 """
 
 from __future__ import annotations
@@ -173,9 +175,11 @@ def main() -> int:
                 # _dyn quantizes the tail with dynamic per-tile scales
                 # (0.0004 SSIM-Y delta scheme).
                 fwd = "xla" if mode == "split2d" else "int8"
+                tile = int(os.environ.get("IEK_BENCH_TILE", "128"))
                 r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="split",
-                                  forward=fwd, split_tile=128, split_tile_w=128,
+                                  forward=fwd, split_tile=tile, split_tile_w=tile,
                                   params=shared_params)
+                r.split2d_chunk = int(os.environ.get("IEK_BENCH_CHUNK", "8"))
                 if "_bt" in mode:
                     r.int8_body_tile = int(os.environ.get("IEK_BODY_TILE", "256"))
                     r.int8_body_seg = int(os.environ.get("IEK_BODY_SEG", "4"))

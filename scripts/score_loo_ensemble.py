@@ -47,15 +47,19 @@ def main() -> int:
             print(f"fold {fold}: ensemble row present, skipping", flush=True)
             continue
         t0 = time.time()
-        r = SuperResolver(
-            model="didbl", weights=ckpt, mode="fast", self_ensemble=True
-        )
+        r = SuperResolver(model="didbl", weights=ckpt, mode="fast")
         gt = imread(f"data_set5/{fold}_GT.png")
         h, w = (gt.shape[0] // 4) * 4, (gt.shape[1] // 4) * 4
         gt = gt[:h, :w]
-        sr = r.upscale(degrade(gt, 4))
-        s = score_pair(gt, sr, name=fold, crop_border=10)
+        lr = degrade(gt, 4)
+        # single-pass from the SAME best checkpoint (train_loo records the
+        # final-epoch params, which can differ slightly) — the fair base
+        sb = score_pair(gt, r.upscale(lr), name=fold, crop_border=10)
+        r.self_ensemble = True
+        s = score_pair(gt, r.upscale(lr), name=fold, crop_border=10)
         row.update(
+            psnr_y_best=sb.psnr_y, ssim_y_best=sb.ssim_y,
+            ssim_rgb_best=sb.ssim_rgb,
             psnr_y_se=s.psnr_y, ssim_y_se=s.ssim_y, ssim_rgb_se=s.ssim_rgb,
             se_sec=round(time.time() - t0, 1),
         )
@@ -63,7 +67,10 @@ def main() -> int:
         done = [v for v in results["folds"].values() if "ssim_y_se" in v]
         results["mean_se"] = {
             k: float(np.mean([v[k] for v in done]))
-            for k in ("psnr_y_se", "ssim_y_se", "ssim_rgb_se")
+            for k in (
+                "psnr_y_best", "ssim_y_best", "ssim_rgb_best",
+                "psnr_y_se", "ssim_y_se", "ssim_rgb_se",
+            )
         }
         results["ensemble"] = (
             "x8 geometric self-ensemble (flips/rot90 averaged, engine "

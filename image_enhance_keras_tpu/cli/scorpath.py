@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", default="didbl")
     p.add_argument("--weights", default=None)
     p.add_argument("--scale-factor", default=4, type=int)
+    p.add_argument("--self-ensemble", action="store_true",
+                   help="with --generate: x8 geometric self-ensemble forwards")
     return p
 
 
@@ -42,7 +44,10 @@ def main(argv=None) -> int:
         from image_enhance_keras_tpu.engine import SuperResolver
         from image_enhance_keras_tpu.eval import evaluate_model
 
-        resolver = SuperResolver(model=args.model, weights=args.weights)
+        resolver = SuperResolver(
+            model=args.model, weights=args.weights,
+            self_ensemble=args.self_ensemble,
+        )
         scores, means = evaluate_model(
             resolver, args.path_dir, scale=args.scale_factor, crop_border=args.crop
         )

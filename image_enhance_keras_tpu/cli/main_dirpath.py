@@ -29,7 +29,7 @@ def build_parser() -> argparse.ArgumentParser:
             "Defaults reproduce the reference's tiled output bit-for-bit "
             "(the slowest mode). For serving throughput use the quality-"
             "gated profile: --dtype bfloat16 --mode split --forward int8 "
-            "--split-tile-w 128 (~4x faster; see SERVING.md)."
+            "--split-tile 128 --split-tile-w 128 (~4x faster; see SERVING.md)."
         ),
     )
     p.add_argument("imgpath", help="directory of images to upscale")
@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile_chunk", default=16, type=int)
     p.add_argument("--devices", default=1, type=int,
                    help="shard tiles across this many devices (data-parallel inference)")
+    p.add_argument("--split-tile", type=int, default=None,
+                   help="split-mode row stripe/tile height (body-map px; "
+                        "default 64; the measured split2d optimum is 128)")
     p.add_argument("--split-tile-w", type=int, default=None,
                    help="2-D tiled tail: also tile split-mode columns "
                         "(body-map px; best perf ~128 at x4)")
@@ -87,6 +90,7 @@ def main(argv=None) -> int:
             forward=args.forward,
             n_devices=args.devices,
             split_tile_w=args.split_tile_w,
+            **({"split_tile": args.split_tile} if args.split_tile else {}),
             self_ensemble=args.self_ensemble,
         )
     else:
@@ -103,6 +107,7 @@ def main(argv=None) -> int:
             mode=args.mode,
             forward=args.forward,
             split_tile_w=args.split_tile_w,
+            **({"split_tile": args.split_tile} if args.split_tile else {}),
             self_ensemble=args.self_ensemble,
         )
     if args.pipeline:

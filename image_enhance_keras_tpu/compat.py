@@ -207,8 +207,16 @@ class DifvdsrDouble:
         import os
 
         for cand in cls.WEIGHT_CANDIDATES:
-            if os.path.exists(cand):
-                return cand
+            if not os.path.exists(cand):
+                continue
+            # an orbax dir must be a COMPLETE save — an interrupted one
+            # (e.g. missing manifest.ocdbt) would crash restore with an
+            # opaque error while the loadable committed npz sits next to it
+            if os.path.isdir(cand) and not os.path.exists(
+                os.path.join(cand, "manifest.ocdbt")
+            ):
+                continue
+            return cand
         return cls.WEIGHT_CANDIDATES[0]  # reported in the error message
 
     def create_model(self, height=32, width=32, channels=3, load_weights=False, batch_size=128):

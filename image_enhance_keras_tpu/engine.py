@@ -314,7 +314,14 @@ class SuperResolver:
             ]
         except Exception:
             return None
-        s = max(1, int(self.scalemulti))
+        # serving-distribution degradation factor: pre-upscaled-input models
+        # consume a bicubic-x{scalemulti} of the LR, so their crops round-trip
+        # by scalemulti; everything else consumes raw LR degraded by the
+        # NET's own scale (scalemulti would over-degrade e.g. difv4_x2)
+        if self.spec.pre_upscaled_input:
+            s = max(1, int(self.scalemulti))
+        else:
+            s = max(1, int(getattr(self.spec, "net_scale", self.scalemulti)))
         crops = []
         for p in paths[:8]:
             try:

@@ -426,6 +426,10 @@ def _tiled_chain(h, fns, radius_per_fn, tile):
 
     halo = int(sum(radius_per_fn))
     H, W, c = int(h.shape[1]), int(h.shape[2]), h.shape[-1]
+    # Known limitation: when ONE axis fits a single tile (elongated frames,
+    # e.g. 256x4096) this falls back to the untiled chain instead of tiling
+    # only the long axis — acceptable while the whole feature is a measured
+    # negative kept behind engine flags (ROADMAP r3 verdict #2).
     if min(H, W) <= tile + 2 * halo or h.shape[0] != 1:
         for f in fns:
             h = f(h)

@@ -219,12 +219,15 @@ def upsample_phase_tf1(x: jnp.ndarray, factor: int) -> jnp.ndarray:
         and int(x.shape[-1]) % 128 == 0  # feature maps (lane-tile channels)
         and jax.default_backend() == "tpu"
     ):
-        from image_enhance_keras_tpu.ops.pallas.upsample import (
-            upsample_phase_tf1_pallas,
-        )
+        # custom_vjp wrapper: the kernel has no autodiff rule, but this op
+        # is shared with the TRAIN graph — backward goes through the XLA
+        # construction's transpose (the op is linear)
+        return _upsample_pallas_ad(x, f)
 
-        return upsample_phase_tf1_pallas(x, f)
+    return _upsample_phase_xla(x, f)
 
+
+def _upsample_phase_xla(x: jnp.ndarray, f: int) -> jnp.ndarray:
     def axis_up(a: jnp.ndarray, axis: int) -> jnp.ndarray:
         # transpose-free: shift along `axis` for the edge clamp, stack the f
         # phases on a fresh axis right after it, and merge — keeps the big
@@ -243,6 +246,34 @@ def upsample_phase_tf1(x: jnp.ndarray, factor: int) -> jnp.ndarray:
         return up.reshape(a.shape[:ax] + (a.shape[ax] * f,) + a.shape[ax + 1 :])
 
     return axis_up(axis_up(x, -3), -2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _upsample_pallas_ad(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    from image_enhance_keras_tpu.ops.pallas.upsample import (
+        upsample_phase_tf1_pallas,
+    )
+
+    return upsample_phase_tf1_pallas(x, f)
+
+
+def _upsample_pallas_ad_fwd(x, f):
+    return _upsample_pallas_ad(x, f), None
+
+
+def _upsample_pallas_ad_bwd(f, res, g):
+    # the upsample is linear: its VJP is the transpose of the XLA
+    # construction, obtained by differentiating it at zero (input shape
+    # follows from the cotangent: out = f*H, f*W)
+    del res
+    shape = (*g.shape[:-3], g.shape[-3] // f, g.shape[-2] // f, g.shape[-1])
+    _, vjp = jax.vjp(
+        lambda t: _upsample_phase_xla(t, f), jnp.zeros(shape, g.dtype)
+    )
+    return vjp(g)
+
+
+_upsample_pallas_ad.defvjp(_upsample_pallas_ad_fwd, _upsample_pallas_ad_bwd)
 
 
 def resize_bilinear_tf1(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:

@@ -66,9 +66,15 @@ def make_hybrid_mesh(axis: str = "data", dcn_axis: str = "dcn") -> Mesh:
     devs = host_major_order(jax.devices())
     n_proc = len({d.process_index for d in devs})
     local = len(devs) // n_proc
-    if n_proc * local != len(devs):
+    # per-host counts must ALL be equal — a divisible total with uneven
+    # hosts (e.g. 3+1 over 2 procs) would silently put one host's device in
+    # another host's row, sending ICI-intended collectives over DCN
+    from collections import Counter
+
+    per_host = Counter(d.process_index for d in devs)
+    if n_proc * local != len(devs) or len(set(per_host.values())) != 1:
         raise ValueError(
-            f"hosts contribute unequal device counts ({len(devs)} devices "
-            f"over {n_proc} processes) — hybrid mesh needs a homogeneous pod"
+            f"hosts contribute unequal device counts ({dict(per_host)}) — "
+            "hybrid mesh needs a homogeneous pod"
         )
     return Mesh(np.array(devs).reshape(n_proc, local), (dcn_axis, axis))

@@ -27,6 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from image_enhance_keras_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
 __all__ = ["export_forward", "export_pipeline", "load_forward"]
 
 _MAGIC = b"IEKX0001"
@@ -67,9 +71,22 @@ def export_pipeline(resolver, input_hw: tuple[int, int], path: str) -> int:
     Note: for pre-upscaled-input models (difvdsr) the artifact expects the
     bicubic-upscaled serving input, exactly like the engine's internal
     program; ``input_hw`` is that pre-upscaled size.  Returns artifact bytes.
+
+    ``self_ensemble`` is NOT baked in (it is a host-side x8 wrapper around
+    the program, not part of it): apply the eight transforms around
+    ``load_forward``'s function yourself, or export the transposed bucket
+    too for non-square inputs.  A warning is logged so the divergence from
+    ``resolver.upscale`` output is never silent.
     """
     from jax import export as jexport
 
+    if getattr(resolver, "self_ensemble", False):
+        log.warning(
+            "export_pipeline: resolver has self_ensemble=True but the "
+            "artifact is the SINGLE-pass program — loaded outputs will "
+            "differ from resolver.upscale (wrap the loaded fn in the x8 "
+            "transform average to reproduce it)"
+        )
     hw = (int(input_hw[0]), int(input_hw[1]))
     params = jax.device_put(resolver._fwd_params())
     if resolver.mode == "split" and resolver._supports_split():

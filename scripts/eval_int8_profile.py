@@ -70,10 +70,16 @@ def main() -> int:
         json.dump(results, f, indent=2)
 
     k = f"{len(picked)}img"
-    d = (results[f"{tag}bf16_fast_{k}"]["ssim_y"]
-         - results[f"{tag}int8_fast_{k}"]["ssim_y"])
-    print(json.dumps({"int8_ssim_y_delta_vs_bf16": round(d, 5),
-                      "gate": "PASS" if abs(d) <= 0.003 else "FAIL"}), flush=True)
+    bf, i8 = results.get(f"{tag}bf16_fast_{k}"), results.get(f"{tag}int8_fast_{k}")
+    if bf and i8:
+        d = bf["ssim_y"] - i8["ssim_y"]
+        print(json.dumps({"int8_ssim_y_delta_vs_bf16": round(d, 5),
+                          "gate": "PASS" if abs(d) <= 0.003 else "FAIL"}),
+              flush=True)
+    else:
+        # a filtered IEK_PROFILES run may not produce both gate rows
+        print(json.dumps({"gate": "SKIPPED (bf16_fast/int8_fast rows absent)"}),
+              flush=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return 0
 

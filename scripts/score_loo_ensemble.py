@@ -37,9 +37,10 @@ def main() -> int:
 
     for fold in SET5:
         row = results["folds"].get(fold)
-        ckpt = f"/tmp/loo_{corpus}_{fold}/best"
-        if corpus == "legacy":
-            ckpt = f"/tmp/loo_{fold}/best"
+        # train_loo writes /tmp/loo_<corpus>_<fold>; pre-r3 legacy runs used
+        # /tmp/loo_<fold> — accept either
+        candidates = [f"/tmp/loo_{corpus}_{fold}/best", f"/tmp/loo_{fold}/best"]
+        ckpt = next((c for c in candidates if os.path.exists(c)), candidates[0])
         if row is None or not os.path.exists(ckpt):
             print(f"fold {fold}: no result/checkpoint, skipping", flush=True)
             continue

@@ -110,8 +110,11 @@ def test_weight_path_resolves_to_committed_demo():
     import os
 
     m = compat.DifvdsrDouble(scale_factor=1)
-    # either a locally-trained best or the committed demo npz; in this repo
-    # checkout the npz is the one that exists
-    assert os.path.exists(m.weight_path) or m.weight_path.endswith("best")
-    if m.weight_path.endswith(".npz"):
-        assert os.path.exists(m.weight_path)
+    # _find_weights must return a LOADABLE checkpoint: either a complete
+    # local orbax save (manifest present) or the committed demo npz —
+    # never a dangling/incomplete path when the npz exists in the repo
+    assert os.path.exists(m.weight_path), m.weight_path
+    if os.path.isdir(m.weight_path):
+        assert os.path.exists(os.path.join(m.weight_path, "manifest.ocdbt"))
+    else:
+        assert m.weight_path.endswith(".npz")

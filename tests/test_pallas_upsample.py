@@ -67,3 +67,25 @@ def test_env_dispatch_cpu_stays_xla(monkeypatch):
                     jnp.float32)
     out = upsample_phase_tf1(x, 4)  # would only differ in lowering, but must run
     assert out.shape == (1, 16, 16, 8)
+
+
+def test_pallas_route_is_differentiable():
+    """The serving opt-in must not break jax.grad on the shared op: the
+    custom_vjp wrapper backs the kernel with the XLA construction's
+    transpose (the op is linear), so train graphs survive
+    IEK_PALLAS_UPSAMPLE=1."""
+    from image_enhance_keras_tpu.ops.resize import (
+        _upsample_pallas_ad,
+        _upsample_phase_xla,
+    )
+
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((1, 4, 8, 8)), jnp.float32
+    )
+    w = jnp.asarray(
+        np.random.default_rng(6).standard_normal((1, 16, 32, 8)), jnp.float32
+    )
+    g_pallas = jax.grad(lambda t: jnp.sum(_upsample_pallas_ad(t, 4) * w))(x)
+    g_xla = jax.grad(lambda t: jnp.sum(_upsample_phase_xla(t, 4) * w))(x)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
+                               atol=1e-5)

@@ -38,8 +38,15 @@ def main() -> int:
     for fold in SET5:
         row = results["folds"].get(fold)
         # train_loo writes /tmp/loo_<corpus>_<fold>; pre-r3 legacy runs used
-        # /tmp/loo_<fold> — accept either
-        candidates = [f"/tmp/loo_{corpus}_{fold}/best", f"/tmp/loo_{fold}/best"]
+        # /tmp/loo_<fold> — accept either.  Prefer `latest` (the final-epoch
+        # state, which IS what the recorded single-pass rows scored; with
+        # train_loo's ckpt_every only the final epoch saves) over `best`,
+        # whose promotion can be blocked by a stale index.json from an
+        # earlier probe run in the same /tmp dir.
+        candidates = [
+            f"/tmp/loo_{corpus}_{fold}/latest", f"/tmp/loo_{corpus}_{fold}/best",
+            f"/tmp/loo_{fold}/latest", f"/tmp/loo_{fold}/best",
+        ]
         ckpt = next((c for c in candidates if os.path.exists(c)), candidates[0])
         if row is None or not os.path.exists(ckpt):
             print(f"fold {fold}: no result/checkpoint, skipping", flush=True)
@@ -53,14 +60,15 @@ def main() -> int:
         h, w = (gt.shape[0] // 4) * 4, (gt.shape[1] // 4) * 4
         gt = gt[:h, :w]
         lr = degrade(gt, 4)
-        # single-pass from the SAME best checkpoint (train_loo records the
-        # final-epoch params, which can differ slightly) — the fair base
+        # single-pass re-score from the SAME checkpoint on the SAME backend
+        # — the fair base for the ensemble delta (the recorded train_loo row
+        # was scored in-process right after training)
         sb = score_pair(gt, r.upscale(lr), name=fold, crop_border=10)
         r.self_ensemble = True
         s = score_pair(gt, r.upscale(lr), name=fold, crop_border=10)
         row.update(
-            psnr_y_best=sb.psnr_y, ssim_y_best=sb.ssim_y,
-            ssim_rgb_best=sb.ssim_rgb,
+            psnr_y_single=sb.psnr_y, ssim_y_single=sb.ssim_y,
+            ssim_rgb_single=sb.ssim_rgb,
             psnr_y_se=s.psnr_y, ssim_y_se=s.ssim_y, ssim_rgb_se=s.ssim_rgb,
             se_sec=round(time.time() - t0, 1),
         )
@@ -69,7 +77,7 @@ def main() -> int:
         results["mean_se"] = {
             k: float(np.mean([v[k] for v in done]))
             for k in (
-                "psnr_y_best", "ssim_y_best", "ssim_rgb_best",
+                "psnr_y_single", "ssim_y_single", "ssim_rgb_single",
                 "psnr_y_se", "ssim_y_se", "ssim_rgb_se",
             )
         }

@@ -201,12 +201,32 @@ class PatchSampler:
         batch_size: int = 10,
         seed: int = 0,
         augment: bool = False,
+        weights: list[float] | None = None,
     ):
         if not images:
             raise ValueError("no training images")
-        self.images = [im for im in images if im.shape[0] >= hr_patch and im.shape[1] >= hr_patch]
+        if weights is not None and len(weights) != len(images):
+            raise ValueError(
+                f"weights ({len(weights)}) must match images ({len(images)})"
+            )
+        keep = [
+            i for i, im in enumerate(images)
+            if im.shape[0] >= hr_patch and im.shape[1] >= hr_patch
+        ]
+        self.images = [images[i] for i in keep]
         if not self.images:
             raise ValueError(f"no image is at least {hr_patch}px on both sides")
+        #: optional per-image sampling mass (e.g. pin the real-GT fraction
+        #: of a mixed real+procedural corpus regardless of corpus size —
+        #: uniform sampling dilutes 4 GTs to 7.7% at 48 synthetics, the
+        #: measured LOO regression of the n=48 probe); renormalised over
+        #: the images that survive the size filter
+        self.p = None
+        if weights is not None:
+            w = np.asarray([weights[i] for i in keep], np.float64)
+            if w.sum() <= 0:
+                raise ValueError("weights sum to zero over usable images")
+            self.p = w / w.sum()
         self.hr_patch = hr_patch
         self.batch_size = batch_size
         self.augment = augment
@@ -216,7 +236,10 @@ class PatchSampler:
         """-> uint8 (B, hr_patch, hr_patch, 3)."""
         p = self.hr_patch
         out = np.empty((self.batch_size, p, p, 3), np.uint8)
-        idx = self.rng.integers(0, len(self.images), self.batch_size)
+        if self.p is not None:
+            idx = self.rng.choice(len(self.images), self.batch_size, p=self.p)
+        else:
+            idx = self.rng.integers(0, len(self.images), self.batch_size)
         for i, k in enumerate(idx):
             im = self.images[k]
             y = self.rng.integers(0, im.shape[0] - p + 1)

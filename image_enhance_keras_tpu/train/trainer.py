@@ -150,6 +150,7 @@ class Trainer:
         train_images: list[np.ndarray] | None = None,
         val_images: list[np.ndarray] | None = None,
         mesh=None,
+        train_weights: list[float] | None = None,
     ):
         from image_enhance_keras_tpu.utils.jax_setup import setup_jax
 
@@ -184,6 +185,7 @@ class Trainer:
             batch_size=cfg.batch_size,
             seed=cfg.seed + 7919 * proc,
             augment=cfg.augment,
+            weights=train_weights,
         )
         self.val_sampler = PatchSampler(
             val_images, hr_patch=hr_patch, batch_size=cfg.batch_size,

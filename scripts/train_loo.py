@@ -73,6 +73,16 @@ def main() -> int:
                 n_rich, 256, seed=0, palette_images=fold_gts
             )
         train_imgs = fold_gts + fold_synth
+        # IEK_LOO_GT_MASS pins the real-GT sampling fraction regardless of
+        # synthetic count (uniform sampling dilutes 4 GTs to 7.7% at n=48 —
+        # the measured regression of the first rich-corpus probe)
+        gt_mass = os.environ.get("IEK_LOO_GT_MASS")
+        weights = None
+        if gt_mass:
+            g = float(gt_mass)
+            weights = [g / len(fold_gts)] * len(fold_gts) + [
+                (1.0 - g) / len(fold_synth)
+            ] * len(fold_synth)
         ckpt_dir = f"/tmp/loo_{corpus}_{fold}"
         cfg = Config(
             model="didbl",
@@ -90,7 +100,10 @@ def main() -> int:
         )
         # val patches from the training images only — the held-out image
         # must not influence any training-time decision
-        trainer = Trainer(cfg, train_images=train_imgs, val_images=train_imgs[:2])
+        trainer = Trainer(
+            cfg, train_images=train_imgs, val_images=train_imgs[:2],
+            train_weights=weights,
+        )
         trainer.fit()
 
         resolver = SuperResolver(model="didbl", params=trainer.state.params, mode="fast")

@@ -295,3 +295,25 @@ def test_rich_synthetic_corpus_properties():
     lo = spec[:8, :8].sum()
     hi = spec[24:32, 24:32].sum()
     assert lo > 5 * hi
+
+
+def test_patch_sampler_weights_pin_image_mass():
+    """Weighted sampling: weights=[1,0] must draw every patch from image 0;
+    a pinned 50/50 split over a 1-vs-9 corpus must hold to a few percent
+    (the IEK_LOO_GT_MASS mechanism for large procedural corpora)."""
+    from image_enhance_keras_tpu.data.pipeline import PatchSampler
+
+    a = np.zeros((32, 32, 3), np.uint8)
+    b = np.full((32, 32, 3), 255, np.uint8)
+    s = PatchSampler([a, b], hr_patch=8, batch_size=64, seed=0,
+                     weights=[1.0, 0.0])
+    assert s.sample().max() == 0
+
+    imgs = [a] + [b] * 9
+    s = PatchSampler(imgs, hr_patch=8, batch_size=512, seed=1,
+                     weights=[0.5] + [0.5 / 9] * 9)
+    frac_a = float((s.sample().max(axis=(1, 2, 3)) == 0).mean())
+    assert 0.4 < frac_a < 0.6, frac_a
+
+    with pytest.raises(ValueError):
+        PatchSampler([a, b], hr_patch=8, weights=[1.0])

@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip-norm", type=float, default=None,
                    help="global-norm gradient clipping")
     p.add_argument("--lr-schedule", default="constant", choices=["constant", "cosine"])
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="exponential-moving-average of params (e.g. 0.999); "
+                        "val metrics score the EMA weights and the serving "
+                        "artifact is exported to <ckpt-dir>/best_ema.npz")
     p.add_argument("--monitor", default="val_ssim_y",
                    choices=["val_ssim_y", "val_psnr_y", "val_psnr", "val_loss"],
                    help="best-checkpoint metric; val_ssim_y = the full-image "
@@ -66,6 +70,7 @@ def main(argv=None) -> int:
         ckpt_every=args.ckpt_every,
         clip_norm=args.clip_norm,
         lr_schedule=args.lr_schedule,
+        ema_decay=args.ema_decay,
         monitor=args.monitor,
     )
     from image_enhance_keras_tpu.data.pipeline import load_image_dir

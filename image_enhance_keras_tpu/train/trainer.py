@@ -42,25 +42,32 @@ class TrainState:
     params: Any
     opt_state: Any
     step: int
+    #: EMA shadow of ``params`` (None when disabled).  Last child so the
+    #: leading leaves stay the raw params — engine.load_weights and old
+    #: checkpoints (which have no ema leaves) keep working unchanged.
+    ema: Any = None
 
     def tree_flatten(self):  # pragma: no cover - registered below
-        return (self.params, self.opt_state, self.step), None
+        return (self.params, self.opt_state, self.step, self.ema), None
 
 
 jax.tree_util.register_pytree_node(
     TrainState,
-    lambda s: ((s.params, s.opt_state, s.step), None),
+    lambda s: ((s.params, s.opt_state, s.step, s.ema), None),
     lambda _, c: TrainState(*c),
 )
 
 
 def make_train_step(
-    module, tx, scale: int, blur_sigma: float, pre_upscale: bool = False
+    module, tx, scale: int, blur_sigma: float, pre_upscale: bool = False,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Build the fused degrade->forward->loss->update step (one XLA program).
 
     ``pre_upscale``: difvdsr-family models refine a bicubic-upscaled input
     (models.py:652) — upscale LR back to HR size before the net.
+    ``ema_decay``: when > 0, also advance the EMA shadow params inside the
+    same program (state.ema must be initialised by the caller).
     """
 
     def net_input(lr_x):
@@ -85,8 +92,14 @@ def make_train_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema
+        if ema_decay > 0.0 and ema is not None:
+            d = jnp.float32(ema_decay)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: (d * e + (1.0 - d) * p.astype(e.dtype)), ema, params
+            )
         psnr = -10.0 * jnp.log10(jnp.mean((pred - hr_y) ** 2))
-        return TrainState(params, opt_state, state.step + 1), {
+        return TrainState(params, opt_state, state.step + 1, ema), {
             "loss": loss,
             "psnr": psnr,
         }
@@ -222,10 +235,18 @@ class Trainer:
         params = init_params(
             self.module, jax.random.PRNGKey(cfg.seed), input_hw=(cfg.lr_patch, cfg.lr_patch)
         )
-        self.state = TrainState(params, self.tx.init(params), 0)
+        ema = (
+            jax.tree_util.tree_map(jnp.asarray, params)
+            if cfg.ema_decay > 0.0
+            else None
+        )
+        self.state = TrainState(params, self.tx.init(params), 0, ema)
 
         self.mesh = mesh
-        step = make_train_step(self.module, self.tx, scale, cfg.blur_sigma, pre_up)
+        step = make_train_step(
+            self.module, self.tx, scale, cfg.blur_sigma, pre_up,
+            ema_decay=cfg.ema_decay,
+        )
         eval_step = make_eval_step(self.module, scale, cfg.blur_sigma, pre_up)
         if mesh is not None:
             from image_enhance_keras_tpu.parallel.data_parallel import (
@@ -268,6 +289,12 @@ class Trainer:
         self.ckpt = CheckpointManager(cfg.checkpoint_dir, monitor=monitor, mode="max")
         self.history = HistoryLogger(f"{cfg.checkpoint_dir}/history.json")
 
+    def _eval_params(self):
+        """Params the val metrics / best-checkpoint gate score: the EMA
+        shadow when enabled (those are the weights that would be served),
+        else the raw optimiser params."""
+        return self.state.ema if self.state.ema is not None else self.state.params
+
     def _global_batch(self, batch_np: np.ndarray) -> jnp.ndarray:
         """Host batch -> device array for the train/eval step.
 
@@ -293,7 +320,7 @@ class Trainer:
             if fn is None:
                 fn = jax.jit(self._image_metric_step)
                 self._image_metric_jits[key] = fn
-            vals.append(fn(self.state.params, jnp.asarray(im)))
+            vals.append(fn(self._eval_params(), jnp.asarray(im)))
         return {
             k: float(np.mean([float(v[k]) for v in vals])) for k in vals[0]
         }
@@ -327,7 +354,7 @@ class Trainer:
             val = {}
             vals = [
                 self.eval_step(
-                    self.state.params, self._global_batch(self.val_sampler.sample())
+                    self._eval_params(), self._global_batch(self.val_sampler.sample())
                 )
                 for _ in range(val_steps)
             ]
@@ -346,6 +373,21 @@ class Trainer:
             is_best = False
             if epoch % max(cfg.ckpt_every, 1) == 0 or epoch == epochs:
                 is_best = self.ckpt.save_epoch(self.state, epoch, epoch_metrics)
+                if self.state.ema is not None:
+                    # serving artifact for the EMA weights the gate scored
+                    # (engine.load_weights on the orbax dir yields the RAW
+                    # params — the npz is the explicit EMA distribution)
+                    from image_enhance_keras_tpu.train.checkpoints import (
+                        export_params_npz,
+                    )
+
+                    export_params_npz(
+                        f"{cfg.checkpoint_dir}/latest_ema.npz", self.state.ema
+                    )
+                    if is_best:
+                        export_params_npz(
+                            f"{cfg.checkpoint_dir}/best_ema.npz", self.state.ema
+                        )
             self.history.log_epoch(epoch, epoch_metrics)
             log.info(
                 "epoch %d/%d loss %.5f psnr %.2f val_psnr %.2f (%.1fs)%s",

@@ -39,6 +39,11 @@ class Config:
     ckpt_every: int = 1  # epochs between checkpoint writes (final epoch always)
     clip_norm: float | None = None  # optax global-norm gradient clipping
     lr_schedule: str = "constant"  # "constant" | "cosine" (decay over the run)
+    # exponential moving average of params (0 disables).  When enabled the
+    # val metrics / best-checkpoint selection score the EMA weights and the
+    # serving artifact is exported as <ckpt_dir>/{best,latest}_ema.npz
+    # (net-new vs the reference trainer, which serves raw last-step weights)
+    ema_decay: float = 0.0
     checkpoint_dir: str = "weights_Double"
     seed: int = 0
     # best-checkpoint selection metric: patch-level "val_psnr"/"val_loss" or

@@ -317,3 +317,55 @@ def test_patch_sampler_weights_pin_image_mass():
 
     with pytest.raises(ValueError):
         PatchSampler([a, b], hr_patch=8, weights=[1.0])
+
+
+def test_ema_recurrence_and_artifacts(tmp_path):
+    """EMA shadow params: one train step advances ema by exactly
+    d*ema + (1-d)*new_params; fit() exports {latest,best}_ema.npz serving
+    artifacts; resume round-trips the ema leaves; metrics are scored on
+    the EMA weights (net-new vs the reference trainer)."""
+    import jax
+
+    t = _tiny_trainer(tmp_path, ema_decay=0.5, epochs=2)
+    assert t.state.ema is not None
+    # at init the shadow equals the raw params
+    for e, p in zip(jax.tree_util.tree_leaves(t.state.ema),
+                    jax.tree_util.tree_leaves(t.state.params)):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+
+    s0 = t.state
+    s1, _ = t.train_step(s0, jnp.asarray(t.sampler.sample()))
+    want = jax.tree_util.tree_map(
+        lambda e, p: 0.5 * np.asarray(e) + 0.5 * np.asarray(p),
+        s0.ema, s1.params,
+    )
+    for w, g in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(s1.ema)):
+        np.testing.assert_allclose(np.asarray(g), w, rtol=2e-6, atol=1e-7)
+    # the shadow lags the raw params after an update
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(s1.ema),
+                        jax.tree_util.tree_leaves(s1.params))
+    )
+    assert moved
+
+    t.fit()
+    ck = t.config.checkpoint_dir
+    assert os.path.exists(os.path.join(ck, "latest_ema.npz"))
+    assert os.path.exists(os.path.join(ck, "best_ema.npz"))
+
+    # the exported npz holds the EMA (not the raw) weights and loads back
+    from image_enhance_keras_tpu.train.checkpoints import load_params_npz
+
+    back = load_params_npz(os.path.join(ck, "latest_ema.npz"), t.state.params)
+    for x, y in zip(jax.tree_util.tree_leaves(back),
+                    jax.tree_util.tree_leaves(t.state.ema)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-7)
+
+    # resume restores the ema leaves (template includes the shadow)
+    t2 = _tiny_trainer(tmp_path, ema_decay=0.5, epochs=2)
+    assert t2.resume()
+    for x, y in zip(jax.tree_util.tree_leaves(t2.state.ema),
+                    jax.tree_util.tree_leaves(t.state.ema)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-7)

@@ -33,6 +33,7 @@ def main() -> int:
 
     corpus = os.environ.get("IEK_LOO_CORPUS", "rich")
     out_path = "EVAL_LOO.json" if corpus == "legacy" else "EVAL_LOO_RICH.json"
+    out_path = os.environ.get("IEK_LOO_OUT", out_path)
     results = json.load(open(out_path))
 
     for fold in SET5:
@@ -43,7 +44,10 @@ def main() -> int:
         # train_loo's ckpt_every only the final epoch saves) over `best`,
         # whose promotion can be blocked by a stale index.json from an
         # earlier probe run in the same /tmp dir.
+        # EMA runs export latest_ema.npz — that IS what the recorded row
+        # scored (train_loo serves the EMA shadow when enabled)
         candidates = [
+            f"/tmp/loo_{corpus}_{fold}/latest_ema.npz",
             f"/tmp/loo_{corpus}_{fold}/latest", f"/tmp/loo_{corpus}_{fold}/best",
             f"/tmp/loo_{fold}/latest", f"/tmp/loo_{fold}/best",
         ]

@@ -38,6 +38,9 @@ def main() -> int:
     spe = 500
     epochs = max(1, steps // spe)
     only = os.environ.get("IEK_LOO_ONLY")  # comma list of fold names
+    # IEK_LOO_EMA: EMA decay (e.g. 0.999); the fold is then scored on the
+    # EMA shadow weights — the artifact an EMA-trained run would serve
+    ema = float(os.environ.get("IEK_LOO_EMA", "0"))
     # corpus=rich: textured dead-leaves + pink-noise procedural corpus
     # (data/pipeline.rich_synthetic_images) with colors sampled from the
     # fold's TRAIN-side images only; writes EVAL_LOO_RICH.json so the
@@ -49,6 +52,7 @@ def main() -> int:
 
     results = {"steps_per_fold": steps, "folds": {}}
     out_path = "EVAL_LOO.json" if corpus == "legacy" else "EVAL_LOO_RICH.json"
+    out_path = os.environ.get("IEK_LOO_OUT", out_path)
     if os.path.exists(out_path):
         results = json.load(open(out_path))
         results["steps_per_fold"] = steps
@@ -96,6 +100,7 @@ def main() -> int:
             ckpt_every=1000000,  # only the final save matters
             checkpoint_dir=ckpt_dir,
             monitor="val_psnr",  # patch-level on TRAIN-side images only
+            ema_decay=ema,
             seed=0,
         )
         # val patches from the training images only — the held-out image
@@ -106,7 +111,11 @@ def main() -> int:
         )
         trainer.fit()
 
-        resolver = SuperResolver(model="didbl", params=trainer.state.params, mode="fast")
+        fold_params = (
+            trainer.state.ema if trainer.state.ema is not None
+            else trainer.state.params
+        )
+        resolver = SuperResolver(model="didbl", params=fold_params, mode="fast")
         gt = gts[fold]
         h, w = (gt.shape[0] // 4) * 4, (gt.shape[1] // 4) * 4
         gt = gt[:h, :w]
@@ -118,6 +127,8 @@ def main() -> int:
         }
         if corpus != "legacy":
             results["folds"][fold]["n_synth"] = len(fold_synth)
+        if ema:
+            results["folds"][fold]["ema_decay"] = ema
         print(json.dumps({fold: results["folds"][fold]}), flush=True)
         # aggregate so partial runs still leave a valid file
         done = results["folds"]

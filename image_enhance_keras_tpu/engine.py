@@ -175,11 +175,16 @@ class SuperResolver:
     def _fwd_key(self):
         """Forward-affecting options that must key the jit caches (stale
         program reuse after toggling them was ADVICE r2's bug class)."""
+        import os as _os
+
         return (
             getattr(self, "forward_mode", "xla"),
             bool(getattr(self, "int8_dynamic_tail", False)),
             int(getattr(self, "int8_body_tile", 0)),
             int(getattr(self, "int8_body_seg", 4)),
+            # int8 conv accumulator dtype (didbl_pallas._qconv_xla reads the
+            # env at trace time — key it so toggling recompiles)
+            _os.environ.get("IEK_INT8_ACC", "bf16"),
         )
 
     def _pipeline_for(self, plan: TilePlan):

@@ -321,10 +321,26 @@ def _quant_c(x, s_c):
                     ).astype(jnp.int8)
 
 
+#: int8 conv accumulator dtype (IEK_INT8_ACC = bf16 | s32 | f32).  The r3
+#: fusion audit measured the serving programs HBM-bound on materialised
+#: conv outputs (split2d tail 55.8x the analytic-min bytes, int8_fast
+#: 1607x — AUDIT_FUSION.json); emitting the conv accumulator as bf16
+#: halves that term.  Measured on v5e, same session, 512^2: split2d
+#: 33.21 vs 32.56 out-Mpix/s, fast 23.67 vs 23.24 (+2%); full-Set5
+#: quality gate still PASS (SSIM-Y delta vs bf16-profile 0.00094 <=
+#: 0.003, EVAL_PROFILES.json) — int8+bf16-acc matches the bf16 profile's
+#: own quality at ~1.9x its speed.  s32 restores the exact native path
+#: (delta 0.00004) at the 2% cost.
+_INT8_ACC = {"s32": jnp.int32, "bf16": jnp.bfloat16, "f32": jnp.float32}
+
+
 def _qconv_xla(xq, wq):
+    import os as _os
+
+    pt = _INT8_ACC[_os.environ.get("IEK_INT8_ACC", "bf16")]
     return lax.conv_general_dilated(
         xq, wq, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=pt,
     )
 
 

@@ -116,7 +116,11 @@ def main() -> int:
                 + 2 * blocks * size * size * 128 * 2 + w_bytes)
     bd = _analyze(f"int8_body_{size}", body.lower(qp, x), min_body)
 
-    print(json.dumps({"audit": [f, tl, bd]}), flush=True)
+    rep = {"audit": [f, tl, bd]}
+    print(json.dumps(rep), flush=True)
+    out = os.environ.get("IEK_AUDIT_OUT", "AUDIT_FUSION.json")
+    with open(out, "w") as fp:
+        json.dump(rep, fp, indent=4)
     return 0
 
 

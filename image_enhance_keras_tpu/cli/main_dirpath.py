@@ -67,11 +67,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline", action="store_true",
                    help="overlap native decode -> device -> encode "
                         "(runtime.serving); prints wall-clock Mpix/s incl. IO")
+    p.add_argument("--int8-acc", default=None, choices=["bf16", "s32", "f32"],
+                   help="int8 conv accumulator emission (default bf16: +2%% "
+                        "throughput, noise-level quality change — "
+                        "EVAL_PROFILES.json; s32 = exact native path)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.int8_acc:
+        import os
+
+        os.environ["IEK_INT8_ACC"] = args.int8_acc
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None

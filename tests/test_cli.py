@@ -112,3 +112,27 @@ def test_learn_cli_synthetic_corpus(tmp_path, monkeypatch):
     ])
     assert rc == 0
     assert (ckpt / "history.json").exists()
+
+
+def test_main_dirpath_int8_acc_flag(tmp_path, tiny_zoo, monkeypatch):
+    """--int8-acc routes to the IEK_INT8_ACC env knob and the int8 forward
+    runs under both accumulator settings (s8xs8 convs with bf16/s32
+    preferred_element_type lower on the CPU backend too)."""
+    from image_enhance_keras_tpu.cli.main_dirpath import main
+
+    rng = np.random.default_rng(1)
+    imwrite(str(tmp_path / "x.png"), rng.integers(0, 256, (40, 48, 3), dtype=np.uint8))
+    monkeypatch.delenv("IEK_INT8_ACC", raising=False)
+    rc = main([str(tmp_path), "--mode", "fast", "--forward", "int8",
+               "--dtype", "bfloat16", "--int8-acc", "s32"])
+    assert rc == 0
+    assert os.environ["IEK_INT8_ACC"] == "s32"
+    out_s32 = imread(str(tmp_path / "x_scaled(1x).png"))
+    os.remove(tmp_path / "x_scaled(1x).png")
+    rc = main([str(tmp_path), "--mode", "fast", "--forward", "int8",
+               "--dtype", "bfloat16", "--int8-acc", "bf16"])
+    assert rc == 0
+    out_bf16 = imread(str(tmp_path / "x_scaled(1x).png"))
+    assert out_s32.shape == out_bf16.shape == (160, 192, 3)
+    # accumulator emission is a numerics knob, not a semantics change
+    assert np.mean(np.abs(out_s32.astype(int) - out_bf16.astype(int))) < 2.0

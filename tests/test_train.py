@@ -369,3 +369,23 @@ def test_ema_recurrence_and_artifacts(tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(t2.state.ema),
                     jax.tree_util.tree_leaves(t.state.ema)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-7)
+
+
+def test_ema_data_parallel_matches_single_device(tmp_path):
+    """The EMA shadow advances identically under the 8-device DP mesh
+    (state is replicated; the shadow update is deterministic given the
+    same batches)."""
+    import jax
+
+    from image_enhance_keras_tpu.parallel import make_mesh
+
+    t1 = _tiny_trainer(tmp_path / "a", ema_decay=0.9, epochs=1,
+                       steps_per_epoch=4, batch_size=8)
+    t8 = _tiny_trainer(tmp_path / "b", mesh=make_mesh(8), ema_decay=0.9,
+                       epochs=1, steps_per_epoch=4, batch_size=8)
+    t1.fit()
+    t8.fit()
+    assert t8.state.ema is not None
+    for a, b in zip(jax.tree_util.tree_leaves(t1.state.ema),
+                    jax.tree_util.tree_leaves(t8.state.ema)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

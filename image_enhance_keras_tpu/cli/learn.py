@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "dead-leaves + 1/f noise, data/pipeline.py) — train "
                         "with no dataset at all, or pad a small one; colors "
                         "are sampled from --train-dir images when given")
+    p.add_argument("--real-mass", type=float, default=0.5, metavar="F",
+                   help="with --train-dir AND --synthetic: fraction of patch "
+                        "samples drawn from the real images (default 0.5). "
+                        "Uniform per-image sampling would dilute a small real "
+                        "corpus under a large synthetic one — the measured "
+                        "LOO regression of the first rich-corpus probe")
     return p
 
 
@@ -78,19 +84,29 @@ def main(argv=None) -> int:
 
     train_images = load_image_dir(args.train_dir) if args.train_dir else None
     val_images = load_image_dir(args.val_dir) if args.val_dir else None
+    train_weights = None
     if args.synthetic:
         from image_enhance_keras_tpu.data.pipeline import rich_synthetic_images
 
         synth = rich_synthetic_images(
             args.synthetic, 256, seed=0, palette_images=train_images
         )
+        if train_images:
+            # pin the real-image sampling mass (PatchSampler weights) so a
+            # large synthetic corpus cannot dilute a small real one
+            g = min(max(args.real_mass, 0.0), 1.0)
+            train_weights = [g / len(train_images)] * len(train_images) + [
+                (1.0 - g) / len(synth)
+            ] * len(synth)
         train_images = (train_images or []) + synth
     mesh = None
     if args.devices > 1:
         from image_enhance_keras_tpu.parallel import make_mesh
 
         mesh = make_mesh(args.devices)
-    trainer = Trainer(cfg, train_images, val_images, mesh=mesh)
+    trainer = Trainer(
+        cfg, train_images, val_images, mesh=mesh, train_weights=train_weights
+    )
     if args.resume:
         trainer.resume()
     trainer.fit()

@@ -18,6 +18,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from image_enhance_keras_tpu.tiling import tiles as _tiles
+from image_enhance_keras_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
 from image_enhance_keras_tpu.ops import metrics as _metrics
 from image_enhance_keras_tpu.ops.color import rgb2ycbcr as _rgb2ycbcr
 from image_enhance_keras_tpu.ops.resize import resize_pil_uint8 as _pil_resize
@@ -200,6 +203,10 @@ class DifvdsrDouble:
     def __init__(self, scale_factor: int = 1):
         self.scale_factor = scale_factor
         self.weight_path = self._find_weights()
+        # remember the auto-resolved value: create_model re-resolves at
+        # load time unless the caller explicitly set .weight_path — a
+        # checkpoint trained AFTER construction must win over the demo npz
+        self._auto_weight_path = self.weight_path
         self._resolver = None
 
     @classmethod
@@ -215,6 +222,11 @@ class DifvdsrDouble:
             if os.path.isdir(cand) and not os.path.exists(
                 os.path.join(cand, "manifest.ocdbt")
             ):
+                log.warning(
+                    "skipping incomplete orbax checkpoint %r (no "
+                    "manifest.ocdbt); falling through the candidate list",
+                    cand,
+                )
                 continue
             return cand
         return cls.WEIGHT_CANDIDATES[0]  # reported in the error message
@@ -224,6 +236,10 @@ class DifvdsrDouble:
 
         from image_enhance_keras_tpu.engine import SuperResolver
 
+        if load_weights and self.weight_path == getattr(
+            self, "_auto_weight_path", None
+        ):
+            self.weight_path = self._auto_weight_path = self._find_weights()
         if load_weights and not os.path.exists(self.weight_path):
             raise FileNotFoundError(
                 f"checkpoint {self.weight_path!r} not found (searched "
@@ -232,6 +248,8 @@ class DifvdsrDouble:
                 ".weight_path to a Keras .h5 / params .npz / orbax dir."
             )
         weights = self.weight_path if load_weights else None
+        if load_weights:
+            log.info("serving weights from %r", weights)
         self._resolver = SuperResolver(model="didbl", weights=weights)
         return self._resolver
 

@@ -328,7 +328,11 @@ class SuperResolver:
         else:
             s = max(1, int(getattr(self.spec, "net_scale", self.scalemulti)))
         crops = []
-        for p in paths[:8]:
+        for p in paths:
+            # cap AFTER the usability filter: a dir whose first files are
+            # thumbnails must still reach the usable larger images
+            if len(crops) >= 8:
+                break
             try:
                 img = np.asarray(imread(p))
             except Exception:

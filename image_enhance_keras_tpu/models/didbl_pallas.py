@@ -23,6 +23,9 @@ from image_enhance_keras_tpu.ops.pallas.blocks import (
     fused_light53_block,
 )
 from image_enhance_keras_tpu.ops.resize import resize_bilinear_tf1
+from image_enhance_keras_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
 
 __all__ = [
     "apply_didbl_pallas",
@@ -442,11 +445,19 @@ def _tiled_chain(h, fns, radius_per_fn, tile):
 
     halo = int(sum(radius_per_fn))
     H, W, c = int(h.shape[1]), int(h.shape[2]), h.shape[-1]
-    # Known limitation: when ONE axis fits a single tile (elongated frames,
-    # e.g. 256x4096) this falls back to the untiled chain instead of tiling
-    # only the long axis — acceptable while the whole feature is a measured
-    # negative kept behind engine flags (ROADMAP r3 verdict #2).
+    # Known limitations (acceptable while the whole feature is a measured
+    # negative kept behind engine flags, ROADMAP r3 verdict #2) — both
+    # fall back to the untiled chain, loudly:
+    #   * one axis fits a single tile (elongated frames, e.g. 256x4096);
+    #   * batched inputs (tiled patch / video modes) — tiling is only
+    #     wired for the batch-1 whole-frame body.
     if min(H, W) <= tile + 2 * halo or h.shape[0] != 1:
+        log.warning(
+            "int8 body tiling requested (tile=%d) but input %s is %s; "
+            "running the untiled chain",
+            tile, tuple(h.shape),
+            "batched" if h.shape[0] != 1 else "too small to tile",
+        )
         for f in fns:
             h = f(h)
         return h

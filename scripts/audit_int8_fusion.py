@@ -36,11 +36,21 @@ def _analyze(name: str, lowered, nbytes_min: float) -> dict:
     lines = txt.splitlines()
     convs = [ln for ln in lines if "convolution(" in ln or " convolution " in ln]
     s8_convs = [ln for ln in convs if re.search(r"convolution\(.*s8", ln) or "s8[" in ln]
-    # top-level (non-nested) instructions of the entry/fused computations
+    # standalone converts = convert instructions in the ENTRY computation
+    # only; converts inside fused-computation bodies are fused epilogues,
+    # not materialised boundaries (counting them overstated the audit)
+    entry_lines, in_entry = [], False
+    for ln in lines:
+        if ln.startswith("ENTRY"):
+            in_entry = True
+            continue
+        if in_entry:
+            if ln.startswith("}"):
+                break
+            entry_lines.append(ln)
     standalone_convert = [
-        ln for ln in lines
+        ln for ln in entry_lines
         if re.match(r"\s+\S+ = (bf16|f32|s8|s32)\[[^\]]*\] convert\(", ln)
-        and "fusion" not in ln
     ]
     copies = [ln for ln in lines if re.search(r"\] copy\(", ln)]
     fusions = [ln for ln in lines if re.search(r"\] fusion\(", ln)]

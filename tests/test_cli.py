@@ -136,3 +136,47 @@ def test_main_dirpath_int8_acc_flag(tmp_path, tiny_zoo, monkeypatch):
     assert out_s32.shape == out_bf16.shape == (160, 192, 3)
     # accumulator emission is a numerics knob, not a semantics change
     assert np.mean(np.abs(out_s32.astype(int) - out_bf16.astype(int))) < 2.0
+
+
+def test_learn_cli_real_mass_pins_sampler_weights(tmp_path, monkeypatch):
+    """--train-dir + --synthetic wires PatchSampler weights so the real
+    corpus keeps --real-mass of the sampling probability (the measured
+    dilution regression of uniform sampling over mixed corpora)."""
+    from image_enhance_keras_tpu.train import trainer as trainer_mod
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+
+    tiny = DifvdsrDouble(features=8, n_body53=1, n_light=1, n_tail53=0)
+    spec = ModelSpec("didbl", lambda **k: tiny, 4, False, "tiny", "w")
+    monkeypatch.setattr(
+        trainer_mod, "get_model", lambda name, dtype=None: (tiny, spec)
+    )
+    seen = {}
+    orig_init = trainer_mod.Trainer.__init__
+
+    def spy(self, config=None, train_images=None, val_images=None, mesh=None,
+            train_weights=None):
+        seen["weights"] = train_weights
+        seen["n_images"] = len(train_images)
+        orig_init(self, config, train_images, val_images, mesh, train_weights)
+
+    monkeypatch.setattr(trainer_mod.Trainer, "__init__", spy)
+
+    rng = np.random.default_rng(0)
+    real_dir = tmp_path / "real"
+    real_dir.mkdir()
+    for i in range(2):
+        imwrite(str(real_dir / f"r{i}.png"),
+                rng.integers(0, 256, (128, 128, 3), dtype=np.uint8))
+    from image_enhance_keras_tpu.cli.learn import main
+
+    rc = main([
+        "--train-dir", str(real_dir), "--synthetic", "6", "--real-mass", "0.5",
+        "--epochs", "1", "--steps-per-epoch", "2", "--batch-size", "2",
+        "--lr-patch", "16", "--monitor", "val_psnr",
+        "--checkpoint-dir", str(tmp_path / "ck"),
+    ])
+    assert rc == 0
+    w = seen["weights"]
+    assert w is not None and len(w) == seen["n_images"] == 8
+    assert abs(sum(w[:2]) - 0.5) < 1e-9 and abs(sum(w[2:]) - 0.5) < 1e-9

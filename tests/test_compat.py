@@ -118,3 +118,46 @@ def test_weight_path_resolves_to_committed_demo():
         assert os.path.exists(os.path.join(m.weight_path, "manifest.ocdbt"))
     else:
         assert m.weight_path.endswith(".npz")
+
+
+def test_weights_reresolved_at_load_time(tmp_path, monkeypatch):
+    """A checkpoint appearing AFTER construction must win over the path
+    pinned at __init__ (unless the caller set .weight_path explicitly)."""
+    import shutil
+
+    import numpy as np
+
+    monkeypatch.chdir(tmp_path)
+    os_dir = tmp_path / "weights_Double"
+    os_dir.mkdir()
+    # at construction only the demo npz exists
+    shutil.copy("/root/repo/weights_Double/didbl_set5demo.npz",
+                os_dir / "didbl_set5demo.npz")
+    m = compat.DifvdsrDouble(scale_factor=1)
+    assert m.weight_path.endswith(".npz")
+    # a user-trained npz checkpoint materialises afterwards as 'best'...
+    # (use an orbax-complete dir marker: _find_weights requires it)
+    best = os_dir / "best"
+    best.mkdir()
+    (best / "manifest.ocdbt").write_bytes(b"")
+    captured = {}
+    orig = compat.SuperResolver if hasattr(compat, "SuperResolver") else None
+
+    def fake_resolver(model="didbl", weights=None, **kw):
+        captured["weights"] = weights
+
+        class _R:  # minimal stand-in; load path is what's under test
+            pass
+
+        return _R()
+
+    import image_enhance_keras_tpu.engine as eng
+
+    monkeypatch.setattr(eng, "SuperResolver", fake_resolver)
+    m.create_model(load_weights=True)
+    assert captured["weights"] == "weights_Double/best"
+    # ...but an explicit user override is respected verbatim
+    m2 = compat.DifvdsrDouble(scale_factor=1)
+    m2.weight_path = str(os_dir / "didbl_set5demo.npz")
+    m2.create_model(load_weights=True)
+    assert captured["weights"] == str(os_dir / "didbl_set5demo.npz")

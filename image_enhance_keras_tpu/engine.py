@@ -697,28 +697,24 @@ class SuperResolver:
 
     @staticmethod
     def _split2d_extract(feats, g):
-        """(hb, wb, C) body map -> (n_r*n_c, T_r, T_c, C) shifted tiles,
-        row-major tile order, as two separable gathers (HLO size is
-        tile-count invariant — no per-tile slice ops)."""
-        c = feats.shape[-1]
-        x = jnp.take(feats, g["ex_r"], axis=0)
-        x = jnp.take(x, g["ex_c"], axis=1)
-        x = x.reshape(g["n_r"], g["T_r"], g["n_c"], g["T_c"], c)
-        return x.transpose(0, 2, 1, 3, 4).reshape(
-            g["n_r"] * g["n_c"], g["T_r"], g["T_c"], c
+        """(hb, wb, C) body map -> (n_r*n_c, T_r, T_c, C) shifted tiles
+        (tiling.gather_tiles_2d — shared with the int8 tiled body)."""
+        from image_enhance_keras_tpu.tiling import gather_tiles_2d
+
+        return gather_tiles_2d(
+            feats, g["ex_r"], g["ex_c"], g["n_r"], g["n_c"], g["T_r"], g["T_c"]
         )
 
     @staticmethod
     def _split2d_stitch(y, g):
         """(n_r*n_c, T_r*ts, T_c*ts, C) tail tiles -> (hb*ts, wb*ts, C)
-        owned-crop stitch as two separable gathers."""
-        ts, c = g["ts"], y.shape[-1]
-        yy = y.reshape(g["n_r"], g["n_c"], g["T_r"] * ts, g["T_c"] * ts, c)
-        yy = yy.transpose(0, 2, 1, 3, 4).reshape(
-            g["n_r"] * g["T_r"] * ts, g["n_c"] * g["T_c"] * ts, c
+        owned-crop stitch (tiling.scatter_tiles_2d)."""
+        from image_enhance_keras_tpu.tiling import scatter_tiles_2d
+
+        return scatter_tiles_2d(
+            y, g["st_r"], g["st_c"], g["n_r"], g["n_c"], g["T_r"], g["T_c"],
+            scale=g["ts"],
         )
-        out = jnp.take(yy, g["st_r"], axis=0)
-        return jnp.take(out, g["st_c"], axis=1)
 
     def _split_fn_2d(self, hw):
         """split with a 2-D tiled tail: the body map is cut into uniform

@@ -438,6 +438,8 @@ def _tiled_chain(h, fns, radius_per_fn, tile):
     This moves the body into the fast regime for a (T/t)^2 halo cost.
     """
     from image_enhance_keras_tpu.tiling import (
+        gather_tiles_2d,
+        scatter_tiles_2d,
         shift_grid_axis,
         shifted_extract_indices,
         shifted_stitch_indices,
@@ -469,17 +471,10 @@ def _tiled_chain(h, fns, radius_per_fn, tile):
     st_r = jnp.asarray(shifted_stitch_indices(H, tile, halo, 1))
     st_c = jnp.asarray(shifted_stitch_indices(W, tile, halo, 1))
 
-    x = jnp.take(h[0], ex_r, axis=0)
-    x = jnp.take(x, ex_c, axis=1)
-    x = x.reshape(n_r, T_r, n_c, T_c, c).transpose(0, 2, 1, 3, 4)
-    x = x.reshape(n_r * n_c, T_r, T_c, c)
+    x = gather_tiles_2d(h[0], ex_r, ex_c, n_r, n_c, T_r, T_c)
     for f in fns:
         x = f(x)
-    y = x.reshape(n_r, n_c, T_r, T_c, c).transpose(0, 2, 1, 3, 4)
-    y = y.reshape(n_r * T_r, n_c * T_c, c)
-    y = jnp.take(y, st_r, axis=0)
-    y = jnp.take(y, st_c, axis=1)
-    return y[None]
+    return scatter_tiles_2d(x, st_r, st_c, n_r, n_c, T_r, T_c, scale=1)[None]
 
 
 #: receptive-field radii of the block kernels (SAME zero-pad pollution per

@@ -239,3 +239,32 @@ def shifted_stitch_indices(total: int, t: int, halo: int, scale: int) -> np.ndar
     offs = np.asarray([k[0] for k in keeps])
     idx = i * (T * scale) + offs[i] * scale + (y - i * t * scale)
     return idx.astype(np.int32)
+
+
+def gather_tiles_2d(x, ex_r, ex_c, n_r: int, n_c: int, T_r: int, T_c: int):
+    """(H, W, C) -> (n_r*n_c, T_r, T_c, C) shifted tiles, row-major tile
+    order, as two separable gathers (HLO size is tile-count invariant).
+
+    The single shared implementation of the shifted-tile extract used by
+    the engine's split2d tail (engine._split2d_extract) and the int8 tiled
+    body (models/didbl_pallas._tiled_chain)."""
+    c = x.shape[-1]
+    y = jnp.take(x, ex_r, axis=0)
+    y = jnp.take(y, ex_c, axis=1)
+    y = y.reshape(n_r, T_r, n_c, T_c, c)
+    return y.transpose(0, 2, 1, 3, 4).reshape(n_r * n_c, T_r, T_c, c)
+
+
+def scatter_tiles_2d(y, st_r, st_c, n_r: int, n_c: int, T_r: int, T_c: int,
+                     scale: int = 1):
+    """(n_r*n_c, T_r*scale, T_c*scale, C) -> (H*scale, W*scale, C)
+    owned-crop stitch as two separable gathers (inverse of
+    ``gather_tiles_2d`` over the owned cores; st_* from
+    ``shifted_stitch_indices``)."""
+    c = y.shape[-1]
+    yy = y.reshape(n_r, n_c, T_r * scale, T_c * scale, c)
+    yy = yy.transpose(0, 2, 1, 3, 4).reshape(
+        n_r * T_r * scale, n_c * T_c * scale, c
+    )
+    out = jnp.take(yy, st_r, axis=0)
+    return jnp.take(out, st_c, axis=1)

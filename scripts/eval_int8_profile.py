@@ -51,6 +51,12 @@ def main() -> int:
         "int8_fast_dyntail": (dict(dtype=jnp.bfloat16, forward="int8"),
                               {"int8_dynamic_tail": True}),
         "int8_pallas_fast": (dict(dtype=jnp.bfloat16, forward="pallas_int8"), {}),
+        # held-out calibration: activation scales from procedural dead-leaves
+        # images only (NEVER the eval images) — the default int8_calib_dir is
+        # data_set5, which overlaps the gate's eval set; this row measures
+        # the gate without that circularity (r3 review finding)
+        "int8_fast_excal": (dict(dtype=jnp.bfloat16, forward="int8"),
+                            {"int8_calib_dir": "__procedural__"}),
     }
     only = os.environ.get("IEK_PROFILES")
     if only:
@@ -59,9 +65,23 @@ def main() -> int:
     path = "EVAL_PROFILES.json"
     results = json.load(open(path)) if os.path.exists(path) else {}
     tag = "" if model == "didbl" else f"{model}_"
+    proc_dir = None
     for name, (kw, opts) in profiles.items():
         r = SuperResolver(model=model, weights=weights, mode="fast", **kw)
         for k, v in opts.items():
+            if k == "int8_calib_dir" and v == "__procedural__":
+                if proc_dir is None:
+                    from image_enhance_keras_tpu.data.io import imwrite
+                    from image_enhance_keras_tpu.data.pipeline import (
+                        rich_synthetic_images,
+                    )
+
+                    proc_dir = tempfile.mkdtemp(prefix="int8_excal_")
+                    for i, im in enumerate(
+                        rich_synthetic_images(8, 256, seed=17)
+                    ):
+                        imwrite(os.path.join(proc_dir, f"p{i}.png"), im)
+                v = proc_dir
             setattr(r, k, v)
         _, means = evaluate_resolver_on_dir(r, tmp, scale=4, verbose=False)
         results[f"{tag}{name}_{len(picked)}img"] = means
@@ -81,6 +101,8 @@ def main() -> int:
         print(json.dumps({"gate": "SKIPPED (bf16_fast/int8_fast rows absent)"}),
               flush=True)
     shutil.rmtree(tmp, ignore_errors=True)
+    if proc_dir:
+        shutil.rmtree(proc_dir, ignore_errors=True)
     return 0
 
 

@@ -285,6 +285,50 @@ class DifvdsrDouble:
     def upVideo(self, img_obj):
         return self._ensure().upscale_frame(np.asarray(img_obj))
 
+    def _write_named(self, img_path, out, suffix):
+        from image_enhance_keras_tpu.data.io import imwrite
+        from image_enhance_keras_tpu.engine import output_name
+
+        dst = output_name(img_path, suffix=suffix, scale_label=self.scale_factor)
+        imwrite(dst, out)
+        return dst
+
+    def upscalePatch(self, img_path, save_intermediate=False, return_image=False,
+                     suffix="scaled", patch_size=32, scalemulti=4, mode="patch",
+                     verbose=True):
+        """Dense-patch alternative path (models.py:419-604): overlapping
+        patches at step 4, each bicubic-downsampled by the net scale,
+        reconstructed and overlap-AVERAGED back (same-size enhance pass);
+        mode='fast' runs the whole-frame x4 forward instead."""
+        from image_enhance_keras_tpu.data.io import imread
+
+        r = self._ensure()
+        img = imread(img_path)
+        if mode == "patch":
+            out = r.upscale_patch_average(img, patch=patch_size, step=4)
+        else:
+            out = r.upscale_frame(img)  # whole-frame branch
+        if return_image:
+            return out
+        return self._write_named(img_path, out, suffix)
+
+    def upscale(self, img_path, save_intermediate=False, return_image=False,
+                suffix="scaled", patch_size=32, mode="patch", verbose=True):
+        """Legacy whole-image / dense-patch mode (models.py:606-853):
+        mode='patch' = dense overlap-average at step 16; mode='fast' = the
+        full-image branch."""
+        from image_enhance_keras_tpu.data.io import imread
+
+        r = self._ensure()
+        img = imread(img_path)
+        if mode == "patch":
+            out = r.upscale_patch_average(img, patch=patch_size, step=16)
+        else:
+            out = r.upscale_frame(img)  # whole-frame branch
+        if return_image:
+            return out
+        return self._write_named(img_path, out, suffix)
+
     def fit(self, batch_size=10, nb_epochs=100, save_history=False, history_fn="ScaleGen History.txt"):
         from image_enhance_keras_tpu.train.trainer import Trainer
         from image_enhance_keras_tpu.utils.config import Config

@@ -161,3 +161,38 @@ def test_weights_reresolved_at_load_time(tmp_path, monkeypatch):
     m2.weight_path = str(os_dir / "didbl_set5demo.npz")
     m2.create_model(load_weights=True)
     assert captured["weights"] == str(os_dir / "didbl_set5demo.npz")
+
+
+def test_upscale_patch_and_legacy_upscale(tmp_path, monkeypatch):
+    """The reference's upscalePatch (dense overlap-average, models.py:419)
+    and legacy upscale (models.py:606) class methods exist and write the
+    reference-named output; mode='fast' runs the whole-frame branch."""
+    import numpy as np
+
+    from image_enhance_keras_tpu.data.io import imread, imwrite
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble as Net
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+    import image_enhance_keras_tpu.engine as eng
+
+    tiny = Net(features=8, n_body53=1, n_light=1, n_tail53=0)
+    spec = ModelSpec("didbl", lambda **k: tiny, 4, False, "tiny", "w")
+    monkeypatch.setattr(eng, "get_model", lambda name, dtype=None: (tiny, spec))
+    monkeypatch.chdir(tmp_path)
+
+    rng = np.random.default_rng(3)
+    src = tmp_path / "img.png"
+    imwrite(str(src), rng.integers(0, 256, (40, 44, 3), dtype=np.uint8))
+
+    m = compat.DifvdsrDouble(scale_factor=1)
+    m.create_model(load_weights=False)  # random tiny weights are fine here
+
+    out = m.upscalePatch(str(src), patch_size=16, return_image=True)
+    assert out.shape == (40, 44, 3)  # same-size enhance pass
+    dst = m.upscalePatch(str(src), patch_size=16)
+    assert dst.endswith("img_scaled(1x).png")
+    assert imread(dst).shape == (40, 44, 3)
+
+    fast = m.upscale(str(src), mode="fast", return_image=True)
+    assert fast.shape == (160, 176, 3)  # whole-frame x4 branch
+    dst2 = m.upscale(str(src), mode="patch")
+    assert imread(dst2).shape == (40, 44, 3)

@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scale-factor", default=4, type=int)
     p.add_argument("--self-ensemble", action="store_true",
                    help="with --generate: x8 geometric self-ensemble forwards")
+    p.add_argument("--forward", default="xla",
+                   choices=["xla", "int8", "pallas", "pallas_chain", "pallas_int8"],
+                   help="with --generate: forward implementation — score the "
+                        "serving profile (e.g. int8) under the same protocol")
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     return p
 
 
@@ -44,9 +49,13 @@ def main(argv=None) -> int:
         from image_enhance_keras_tpu.engine import SuperResolver
         from image_enhance_keras_tpu.eval import evaluate_model
 
+        import jax.numpy as jnp
+
         resolver = SuperResolver(
             model=args.model, weights=args.weights,
             self_ensemble=args.self_ensemble,
+            forward=args.forward,
+            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
         )
         scores, means = evaluate_model(
             resolver, args.path_dir, scale=args.scale_factor, crop_border=args.crop

@@ -180,3 +180,19 @@ def test_learn_cli_real_mass_pins_sampler_weights(tmp_path, monkeypatch):
     w = seen["weights"]
     assert w is not None and len(w) == seen["n_images"] == 8
     assert abs(sum(w[:2]) - 0.5) < 1e-9 and abs(sum(w[2:]) - 0.5) < 1e-9
+
+
+def test_scorpath_generate_int8_forward(tmp_path, tiny_zoo):
+    """--generate --forward int8 scores the serving profile under the
+    scorpath protocol (generate + score in one run)."""
+    from image_enhance_keras_tpu.cli.scorpath import main
+
+    rng = np.random.default_rng(5)
+    imwrite(str(tmp_path / "g.png"),
+            rng.integers(0, 256, (48, 48, 3), dtype=np.uint8))
+    js = str(tmp_path / "m.json")
+    rc = main([str(tmp_path), "--generate", "--forward", "int8",
+               "--dtype", "bfloat16", "--json", js])
+    assert rc == 0
+    means = json.load(open(js))
+    assert "ssim_y" in means

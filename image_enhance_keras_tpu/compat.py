@@ -36,9 +36,22 @@ __all__ = [
     "psnrVDSR",
     "PSNRTorch",
     "psnrSVLAB",
+    "psnr",
+    "psnr2",
+    "psnr3",
     "im2double",
+    "im2doubleZ",
     "rgb2y",
     "imresize_bicubic",
+    "SetGama",
+    "SetContrast",
+    "smooth_gan_labels",
+    "subimage_build_patch_global",
+    "subimage_combine_patches_global",
+    "make_patchesOrig",
+    "make_patchesStep",
+    "extract_patches_2dv2",
+    "transform_images",
     "image_count",
     "image_generator",
     "DifvdsrDouble",
@@ -157,6 +170,37 @@ def im2double(im):
     return np.asarray(im, np.float64) / 255.0
 
 
+def im2doubleZ(im):
+    """Min-max normalisation (reference PSNR.py:87-91)."""
+    im = np.asarray(im)
+    lo, hi = im.min(), im.max()
+    return (im.astype(float) - lo) / (hi - lo)
+
+
+def psnr(y_true, y_pred):
+    """models.py:71-76 (unit-range MSE form)."""
+    y_true, y_pred = np.asarray(y_true), np.asarray(y_pred)
+    assert y_true.shape == y_pred.shape
+    return -10.0 * np.log10(np.mean(np.square(y_pred - y_true)))
+
+
+def psnr2(img1, img2):
+    """models.py:78-83 (255-peak, 20*log10(255/rms))."""
+    mse = np.mean((np.asarray(img1, float) - np.asarray(img2, float)) ** 2)
+    if mse == 0:
+        return 100
+    return 20 * np.log10(255.0 / np.sqrt(mse))
+
+
+def psnr3(img1, img2):
+    """models.py:85-90 (the reference's 255^2/sqrt(mse) variant, kept
+    verbatim including its unusual sqrt)."""
+    mse = np.mean((np.asarray(img1, float) - np.asarray(img2, float)) ** 2)
+    if mse == 0:
+        return 100
+    return 10 * np.log10(255.0 ** 2 / np.sqrt(mse))
+
+
 def rgb2y(img):
     """Fixed version of the reference's broken rgb2y (PSNR.py:101-109)."""
     return np.asarray(_rgb2ycbcr(jnp.asarray(np.asarray(img))))[..., 0]
@@ -166,6 +210,110 @@ def imresize_bicubic(img, size):
     """scipy.misc.imresize(..., interp='bicubic') stand-in (uint8 semantics)."""
     out = _pil_resize(jnp.asarray(np.asarray(img)), tuple(size))
     return np.asarray(out).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# pixel-adjust + misc utilities (img_utils.py:401-440)
+# ---------------------------------------------------------------------------
+
+def SetGama(imgParam, gamma=0.1):
+    """Gamma adjust (img_utils.py:415-427; exponent is 1/gamma there).
+    Vectorised via ops.adjust; truncates like the reference's uint8
+    assignment."""
+    im = np.asarray(imgParam, np.float32)
+    out = 255.0 * np.clip(im / 255.0, 0.0, 1.0) ** (1.0 / gamma)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def SetContrast(im, contrast=128):
+    """Linear contrast about 128 with the 259-formula factor
+    (img_utils.py:429-440)."""
+    factor = (259.0 * (contrast + 255.0)) / (255.0 * (259.0 - contrast))
+    out = factor * (np.asarray(im, np.float32) - 128.0) + 128.0
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def smooth_gan_labels(y):
+    """GAN label smoothing (img_utils.py:401-413): 0 -> U[0,0.3),
+    1 -> U[0.7,1.2)."""
+    y = np.asarray(y, int)
+    assert y.ndim == 2, "Needs to be a binary class"
+    lo = np.random.uniform(0.0, 0.3, y.shape)
+    hi = np.random.uniform(0.7, 1.2, y.shape)
+    return np.where(y == 0, lo, hi).astype(np.float32)
+
+
+def subimage_build_patch_global(img, stride, patch_size, nb_hr_images=None):
+    """Grid patch extraction (img_utils.py:240-261).  Faithful to the
+    reference's iteration — including its swapped width/height bound
+    check — so pastes via subimage_combine_patches_global round-trip."""
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    coords = [
+        (y, x)
+        for y in range(0, w, stride)
+        for x in range(0, h, stride)
+        if (x + patch_size) < w and (y + patch_size) < h
+    ]
+    return np.stack(
+        [img[y : y + patch_size, x : x + patch_size, :] for y, x in coords]
+    ).astype(float)
+
+
+def subimage_combine_patches_global(imgtrue, patches, stride, patch_size, scale):
+    """Grid paste onto the bicubic-upscaled image (img_utils.py:268-287)."""
+    imgtrue = np.asarray(imgtrue)
+    ht, wt = imgtrue.shape[:2]
+    img = np.asarray(
+        imresize_bicubic(imgtrue, (ht * scale, wt * scale)), np.float64
+    )
+    h, w = img.shape[:2]
+    j = 0
+    for y in range(0, w, stride):
+        for x in range(0, h, stride):
+            if (x + patch_size) < w and (y + patch_size) < h:
+                img[y : y + patch_size, x : x + patch_size, :] = patches[j]
+                j += 1
+    return img
+
+
+def make_patchesOrig(x, scale, patch_size, upscale=False, verbose=1):
+    """Dense sliding-window patches (img_utils.py:174-180)."""
+    return make_patches(x, scale, patch_size, upscale, verbose)
+
+
+def make_patchesStep(x, scale, patch_size, upscale=False, extraction_step=24, verbose=1):
+    """Strided dense patches (img_utils.py:182-187)."""
+    from image_enhance_keras_tpu.tiling.dense import extract_dense_patches
+
+    return np.asarray(
+        extract_dense_patches(
+            jnp.asarray(np.asarray(x, np.float32)), patch_size, extraction_step
+        )
+    )
+
+
+def extract_patches_2dv2(image, patch_size, max_patches=None, random_state=None):
+    """Vendored-sklearn dense extraction (img_utils.py:561-599; uint8)."""
+    out = make_patches(np.asarray(image), 1, patch_size[0])
+    return out.astype(np.uint8)
+
+
+def transform_images(directory, output_directory, scaling_factor=2,
+                     max_nb_images=-1, true_upscale=False):
+    """Dataset preparation (img_utils.py:44-123) — delegates to the
+    first-class prepare_data pipeline (sharpen + blur + bicubic pairs)."""
+    from image_enhance_keras_tpu.cli.prepare_data import prepare
+
+    if max_nb_images not in (-1, None):
+        log.warning(
+            "transform_images: max_nb_images is not supported by the "
+            "prepare_data pipeline; processing the whole directory"
+        )
+    return prepare(
+        directory, output_directory, scale=scaling_factor,
+        true_upscale=true_upscale,
+    )
 
 
 # ---------------------------------------------------------------------------

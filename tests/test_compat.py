@@ -196,3 +196,59 @@ def test_upscale_patch_and_legacy_upscale(tmp_path, monkeypatch):
     assert fast.shape == (160, 176, 3)  # whole-frame x4 branch
     dst2 = m.upscale(str(src), mode="patch")
     assert imread(dst2).shape == (40, 44, 3)
+
+
+def test_misc_utility_surface():
+    """The long tail of reference utility names (img_utils.py:240-440,
+    PSNR.py:87-98, models.py:71-90): present and semantically faithful."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (40, 52, 3), dtype=np.uint8)
+
+    g = compat.SetGama(img, gamma=0.5)  # exponent 1/gamma = 2
+    want = np.clip(255.0 * (img / 255.0) ** 2.0, 0, 255).astype(np.uint8)
+    assert np.abs(g.astype(int) - want.astype(int)).max() <= 1
+
+    c = compat.SetContrast(img, contrast=64)
+    f = (259.0 * (64 + 255.0)) / (255.0 * (259.0 - 64))
+    want = np.clip(f * (img.astype(np.float32) - 128.0) + 128.0, 0, 255)
+    assert np.abs(c.astype(float) - want).max() <= 1
+
+    y = (rng.random((6, 4)) > 0.5).astype(int)
+    s = compat.smooth_gan_labels(y)
+    assert ((s[y == 0] >= 0) & (s[y == 0] <= 0.3)).all()
+    assert ((s[y == 1] >= 0.7) & (s[y == 1] <= 1.2)).all()
+
+    # grid patch/paste round-trip (reference's swapped-bound iteration)
+    patches = compat.subimage_build_patch_global(img, 8, 16)
+    assert patches.shape[1:] == (16, 16, 3)
+    out = compat.subimage_combine_patches_global(img, patches, 8, 16, 1)
+    assert out.shape[:2] == img.shape[:2]
+    # every pasted region matches its source patch
+    assert np.allclose(out[0:16, 0:16], patches[0])
+
+    assert compat.make_patchesOrig(img, 1, 16).shape[1:] == (16, 16, 3)
+    assert compat.make_patchesStep(img, 1, 16, extraction_step=8).shape[1:] == (16, 16, 3)
+    assert compat.extract_patches_2dv2(img, (16, 16)).dtype == np.uint8
+
+    z = compat.im2doubleZ(img)
+    assert z.min() == 0.0 and z.max() == 1.0
+
+    a = img.astype(float) / 255.0
+    b = np.clip(a + 0.01, 0, 1)
+    assert abs(compat.psnr(a, b) - (-10 * np.log10(np.mean((a - b) ** 2)))) < 1e-9
+    assert compat.psnr2(img, img) == 100
+    assert compat.psnr3(img, img) == 100
+
+
+def test_transform_images_delegates(tmp_path):
+    rng = np.random.default_rng(1)
+    src = tmp_path / "src"
+    src.mkdir()
+    from image_enhance_keras_tpu.data.io import imwrite
+
+    imwrite(str(src / "a.png"), rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+    n = compat.transform_images(str(src), str(tmp_path / "out"), scaling_factor=2)
+    assert n > 0
+    import os
+
+    assert os.path.isdir(tmp_path / "out" / "X")

@@ -48,6 +48,7 @@ __all__ = [
     "smooth_gan_labels",
     "subimage_build_patch_global",
     "subimage_combine_patches_global",
+    "subimage_patch",
     "make_patchesOrig",
     "make_patchesStep",
     "extract_patches_2dv2",
@@ -258,6 +259,17 @@ def subimage_build_patch_global(img, stride, patch_size, nb_hr_images=None):
     return np.stack(
         [img[y : y + patch_size, x : x + patch_size, :] for y, x in coords]
     ).astype(float)
+
+
+def subimage_patch(img, stride, patch_size, nb_hr_images=None):
+    """Generator form of the grid extraction (img_utils.py:144-157, same
+    swapped-bound iteration)."""
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    for y in range(0, w, stride):
+        for x in range(0, h, stride):
+            if (x + patch_size) < w and (y + patch_size) < h:
+                yield img[y : y + patch_size, x : x + patch_size, :]
 
 
 def subimage_combine_patches_global(imgtrue, patches, stride, patch_size, scale):

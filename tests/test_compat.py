@@ -252,3 +252,11 @@ def test_transform_images_delegates(tmp_path):
     import os
 
     assert os.path.isdir(tmp_path / "out" / "X")
+
+
+def test_subimage_patch_generator_matches_build():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (40, 52, 3), dtype=np.uint8)
+    gen = np.stack(list(compat.subimage_patch(img, 8, 16)))
+    built = compat.subimage_build_patch_global(img, 8, 16)
+    np.testing.assert_array_equal(gen.astype(float), built)

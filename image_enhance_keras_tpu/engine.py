@@ -182,9 +182,11 @@ class SuperResolver:
             bool(getattr(self, "int8_dynamic_tail", False)),
             int(getattr(self, "int8_body_tile", 0)),
             int(getattr(self, "int8_body_seg", 4)),
-            # int8 conv accumulator dtype (didbl_pallas._qconv_xla reads the
-            # env at trace time — key it so toggling recompiles)
+            # trace-time env knobs (didbl_pallas._qconv_xla accumulator,
+            # ops/resize Pallas-upsample opt-in) — key them so toggling
+            # recompiles instead of reusing a stale program
             _os.environ.get("IEK_INT8_ACC", "bf16"),
+            _os.environ.get("IEK_PALLAS_UPSAMPLE", "0"),
         )
 
     def _pipeline_for(self, plan: TilePlan):

@@ -35,7 +35,19 @@ def _analyze(name: str, lowered, nbytes_min: float) -> dict:
     txt = compiled.as_text()
     lines = txt.splitlines()
     convs = [ln for ln in lines if "convolution(" in ln or " convolution " in ln]
-    s8_convs = [ln for ln in convs if re.search(r"convolution\(.*s8", ln) or "s8[" in ln]
+    # operand dtypes are not on the conv line — resolve each operand name
+    # through a name->dtype map built from every defining instruction
+    dtype_of = {}
+    for ln in lines:
+        m = re.match(r"\s*(%?[\w.\-]+) = ([a-z0-9]+)\[", ln)
+        if m:
+            dtype_of[m.group(1).lstrip("%")] = m.group(2)
+    s8_convs = []
+    for ln in convs:
+        m = re.search(r"convolution\(([^)]*)\)", ln)
+        ops = [o.strip().lstrip("%") for o in m.group(1).split(",")] if m else []
+        if any(dtype_of.get(o) == "s8" for o in ops):
+            s8_convs.append(ln)
     # standalone converts = convert instructions in the ENTRY computation
     # only; converts inside fused-computation bodies are fused epilogues,
     # not materialised boundaries (counting them overstated the audit)

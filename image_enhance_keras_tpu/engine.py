@@ -329,16 +329,24 @@ class SuperResolver:
             s = max(1, int(self.scalemulti))
         else:
             s = max(1, int(getattr(self.spec, "net_scale", self.scalemulti)))
-        crops = []
+        imgs = []
         for p in paths:
             # cap AFTER the usability filter: a dir whose first files are
             # thumbnails must still reach the usable larger images
-            if len(crops) >= 8:
+            if len(imgs) >= 8:
                 break
             try:
                 img = np.asarray(imread(p))
             except Exception:
                 continue
+            imgs.append(img)
+        return self._calib_from_arrays(imgs, s)
+
+    def _calib_from_arrays(self, imgs, s: int) -> jnp.ndarray | None:
+        """Shared degradation half of image calibration: HR arrays ->
+        (N, cs, cs, 3) [0,1] serving-distribution LR crops."""
+        crops = []
+        for img in imgs:
             h, w = img.shape[:2]
             if min(h, w) < s * 16:
                 continue
@@ -397,10 +405,30 @@ class SuperResolver:
             if calib is None and getattr(self, "int8_calib", "images") == "images":
                 calib = self._calib_from_images()
                 if calib is None:
+                    # no usable calib dir: degrade rich procedural images
+                    # (textured dead-leaves + 1/f noise) through the SAME
+                    # serving-distribution path — measured far closer to
+                    # real-image calibration than the plain tiles
+                    # (EVAL_PROFILES int8_fast_excal row; the r2 tiles
+                    # measured 0.0052 FAIL on full Set5)
+                    from image_enhance_keras_tpu.data.pipeline import (
+                        rich_synthetic_images,
+                    )
+
                     log.warning(
                         "int8_calib='images' but no usable images under %r; "
-                        "falling back to synthetic calibration tiles",
+                        "calibrating on procedural dead-leaves images",
                         self.int8_calib_dir,
+                    )
+                    s = (
+                        max(1, int(self.scalemulti))
+                        if self.spec.pre_upscaled_input
+                        else max(
+                            1, int(getattr(self.spec, "net_scale", self.scalemulti))
+                        )
+                    )
+                    calib = self._calib_from_arrays(
+                        rich_synthetic_images(8, 256, seed=17), s
                     )
             if calib is None:
                 calib = (

@@ -17,6 +17,27 @@ Everything here is designed TPU-first:
     not per-process device pinning (reference: main_dirpath.py:3).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"  # keep in sync with pyproject.toml
 
 from image_enhance_keras_tpu import ops  # noqa: F401
+
+_LAZY = {
+    "SuperResolver": ("image_enhance_keras_tpu.engine", "SuperResolver"),
+    "ShardedResolver": ("image_enhance_keras_tpu.parallel", "ShardedResolver"),
+    "Trainer": ("image_enhance_keras_tpu.train.trainer", "Trainer"),
+    "Config": ("image_enhance_keras_tpu.utils.config", "Config"),
+    "compat": ("image_enhance_keras_tpu.compat", None),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level exports: `from image_enhance_keras_tpu import
+    SuperResolver` without importing the engine (and its jit warmup
+    machinery) for users who only need ops/metrics."""
+    entry = _LAZY.get(name)
+    if entry is None:
+        raise AttributeError(name)
+    import importlib
+
+    mod = importlib.import_module(entry[0])
+    return getattr(mod, entry[1]) if entry[1] else mod

@@ -53,14 +53,14 @@ def main() -> int:
             return jax.tree_util.tree_unflatten(treedef, picked)
 
         raw = tree_from(leaves[:n])
-        # TrainState flatten order: (params, opt_state, step, ema).  For
-        # the LOO trainer (plain adam: count + mu + nu) the leaf count is
-        # exactly 3n+2 without EMA and 4n+2 with it — adam's nu also
-        # mirrors the param shapes, so count arithmetic (not shape
-        # matching) is the discriminator.
-        if len(leaves) == 4 * n + 2:
+        # TrainState flatten order: (params, opt_state, step, ema).  Adam
+        # carries count + mu(n) + nu(n), and a schedule (the LOO cosine)
+        # adds one more count leaf — so totals are 3n+{2,3} without EMA
+        # and 4n+{2,3} with it.  Adam's nu mirrors the param shapes, so
+        # count arithmetic (not shape matching) is the discriminator.
+        if len(leaves) - 4 * n in (2, 3):
             ema = tree_from(leaves[-n:])
-        elif len(leaves) == 3 * n + 2:
+        elif len(leaves) - 3 * n in (2, 3):
             ema = None
         else:
             print(f"{fold}: unexpected leaf count {len(leaves)} (n={n}); "

@@ -50,7 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--step", default=64, type=int, help="tile step (reference: 64)")
     p.add_argument("--geometry", default=None, choices=["ref", "perf"],
                    help="tile geometry preset (overrides patch_size/step)")
-    p.add_argument("--weights", default=None, help="Keras .h5 or orbax checkpoint dir")
+    p.add_argument("--weights", default=None,
+                   help="Keras .h5, params .npz, or orbax checkpoint dir; "
+                        "omitted = the model's committed demo checkpoint "
+                        "(error if none exists); 'none' = explicit "
+                        "random-init smoke run")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--tile_chunk", default=16, type=int)
     p.add_argument("--devices", default=1, type=int,
@@ -76,10 +80,29 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.int8_acc:
-        import os
+    import os
 
+    if args.int8_acc:
         os.environ["IEK_INT8_ACC"] = args.int8_acc
+    if args.weights == "none":
+        # explicit random-init opt-in (smoke/pipeline runs)
+        log.warning("--weights none: serving RANDOM-INIT weights")
+        args.weights = None
+    elif args.weights is None:
+        # never silently serve random-init weights (the reference
+        # hard-loads its checkpoint, models.py:1217): resolve the zoo's
+        # committed demo artifact, or fail loudly when the family has none
+        default = MODEL_REGISTRY[args.model].default_weights
+        if default and os.path.exists(default):
+            log.info("no --weights given; using the demo checkpoint %r", default)
+            args.weights = default
+        else:
+            raise SystemExit(
+                f"no --weights given and no committed demo checkpoint exists "
+                f"for {args.model!r} (default_weights={default!r}); train one "
+                f"(cli.learn), pass --weights, or use '--weights none' for "
+                f"an explicit random-init run"
+            )
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None

@@ -34,7 +34,9 @@ class ModelSpec:
     # 2.10 mapping, e.g. weights_Double <- models.py:1217).  Documentation
     # only — not a promise of a loadable local checkpoint; pass explicit
     # `weights=` (e.g. weights_Double/didbl_set5demo.npz) to load one.
-    default_weights: str
+    #: repo-relative demo checkpoint (.npz) or None when no
+    #: committed artifact exists for the family
+    default_weights: str | None
     # AE-style models whose eval path coerces images to /4-divisible sizes
     # and runs the divisible-shape driver (reference models.py:105,159-163);
     # False for every shipped reference model (it's capability surface).
@@ -64,7 +66,7 @@ MODEL_REGISTRY: dict[str, ModelSpec] = {
         net_scale=4,
         pre_upscaled_input=False,
         description="DifvdsrDouble x4 (reference models.py:1146-1270)",
-        default_weights="weights_Double",
+        default_weights="weights_Double/didbl_set5demo.npz",
     ),
     "didbl_subpixel": ModelSpec(
         "didbl_subpixel",
@@ -72,7 +74,7 @@ MODEL_REGISTRY: dict[str, ModelSpec] = {
         net_scale=4,
         pre_upscaled_input=False,
         description="didbl with depth_to_space head (advanced.py/keras_subpixel.py)",
-        default_weights="weights_Double_subpixel",
+        default_weights="weights_demo_didbl_subpixel/didbl_subpixel_set5demo.npz",
     ),
     "difv4": ModelSpec(
         "difv4",
@@ -80,7 +82,7 @@ MODEL_REGISTRY: dict[str, ModelSpec] = {
         net_scale=4,
         pre_upscaled_input=False,
         description="Difvdsr4 progressive 2x+2x (reference models.py:992-1142)",
-        default_weights="weights_Difvdsr2scale",
+        default_weights=None,
     ),
     "difv4_x2": ModelSpec(
         "difv4_x2",
@@ -91,7 +93,7 @@ MODEL_REGISTRY: dict[str, ModelSpec] = {
             "Difvdsr4 single-2x variant (the reference's x2 dev-note configs, "
             "models.py:1061-1069)"
         ),
-        default_weights="weights_Difvdsr2scale",
+        default_weights=None,
     ),
     "difvdsr": ModelSpec(
         "difvdsr",
@@ -99,7 +101,7 @@ MODEL_REGISTRY: dict[str, ModelSpec] = {
         net_scale=1,
         pre_upscaled_input=True,
         description="Difvdsr refiner on pre-upscaled input (reference models.py:1274-1357)",
-        default_weights="weights_Difvdsr",
+        default_weights=None,
     ),
 }
 

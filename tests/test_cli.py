@@ -28,8 +28,8 @@ def test_main_dirpath_cli(tmp_path, tiny_zoo):
     rng = np.random.default_rng(0)
     for name in ["a.png", "b.bmp"]:
         imwrite(str(tmp_path / name), rng.integers(0, 256, (40, 48, 3), dtype=np.uint8))
-    rc = main([str(tmp_path), "--mode", "fast", "--patch_size", "32", "--step", "16",
-               "--save_intermediate"])
+    rc = main([str(tmp_path), "--weights", "none", "--mode", "fast",
+               "--patch_size", "32", "--step", "16", "--save_intermediate"])
     assert rc == 0
     assert os.path.exists(tmp_path / "a_scaled(1x).png")
     assert os.path.exists(tmp_path / "b_scaled(1x).bmp")
@@ -39,7 +39,8 @@ def test_main_dirpath_cli(tmp_path, tiny_zoo):
     inter = imread(str(tmp_path / "a_intermediate_.png"))
     assert inter.shape == (160, 192, 3)
     # rerun skips outputs and intermediates
-    rc = main([str(tmp_path), "--mode", "fast", "--patch_size", "32", "--step", "16"])
+    rc = main([str(tmp_path), "--weights", "none", "--mode", "fast",
+               "--patch_size", "32", "--step", "16"])
     assert rc == 0
 
 
@@ -49,7 +50,8 @@ def test_main_dirpath_cli_sharded(tmp_path, tiny_zoo):
 
     rng = np.random.default_rng(5)
     imwrite(str(tmp_path / "c.png"), rng.integers(0, 256, (48, 48, 3), dtype=np.uint8))
-    rc = main([str(tmp_path), "--devices", "2", "--patch_size", "32", "--step", "16"])
+    rc = main([str(tmp_path), "--weights", "none", "--devices", "2",
+               "--patch_size", "32", "--step", "16"])
     assert rc == 0
     out = imread(str(tmp_path / "c_scaled(1x).png"))
     assert out.shape == (192, 192, 3)
@@ -123,14 +125,14 @@ def test_main_dirpath_int8_acc_flag(tmp_path, tiny_zoo, monkeypatch):
     rng = np.random.default_rng(1)
     imwrite(str(tmp_path / "x.png"), rng.integers(0, 256, (40, 48, 3), dtype=np.uint8))
     monkeypatch.delenv("IEK_INT8_ACC", raising=False)
-    rc = main([str(tmp_path), "--mode", "fast", "--forward", "int8",
-               "--dtype", "bfloat16", "--int8-acc", "s32"])
+    rc = main([str(tmp_path), "--weights", "none", "--mode", "fast",
+               "--forward", "int8", "--dtype", "bfloat16", "--int8-acc", "s32"])
     assert rc == 0
     assert os.environ["IEK_INT8_ACC"] == "s32"
     out_s32 = imread(str(tmp_path / "x_scaled(1x).png"))
     os.remove(tmp_path / "x_scaled(1x).png")
-    rc = main([str(tmp_path), "--mode", "fast", "--forward", "int8",
-               "--dtype", "bfloat16", "--int8-acc", "bf16"])
+    rc = main([str(tmp_path), "--weights", "none", "--mode", "fast",
+               "--forward", "int8", "--dtype", "bfloat16", "--int8-acc", "bf16"])
     assert rc == 0
     out_bf16 = imread(str(tmp_path / "x_scaled(1x).png"))
     assert out_s32.shape == out_bf16.shape == (160, 192, 3)
@@ -196,3 +198,17 @@ def test_scorpath_generate_int8_forward(tmp_path, tiny_zoo):
     assert rc == 0
     means = json.load(open(js))
     assert "ssim_y" in means
+
+
+def test_main_dirpath_weight_default_resolution(tmp_path, tiny_zoo, monkeypatch):
+    """Omitted --weights resolves the zoo's committed demo checkpoint or
+    fails loudly — never a silent random-init serve (reference hard-loads
+    its checkpoint, models.py:1217)."""
+    from image_enhance_keras_tpu.cli.main_dirpath import main
+
+    rng = np.random.default_rng(7)
+    imwrite(str(tmp_path / "y.png"),
+            rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+    monkeypatch.chdir(tmp_path)  # demo npz not reachable from here
+    with pytest.raises(SystemExit, match="no committed demo checkpoint"):
+        main([str(tmp_path)])

@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 conv accumulator emission (default bf16: +2%% "
                         "throughput, noise-level quality change — "
                         "EVAL_PROFILES.json; s32 = exact native path)")
+    p.add_argument("--int8-emit", default=None, choices=["wide", "s8"],
+                   help="int8 branch-intermediate emission: s8 fuses the "
+                        "requantize into the conv epilogue so the "
+                        "a1/b1 branch legs are written as int8 (1 B/elt) "
+                        "instead of f32 — bit-exact vs wide")
     return p
 
 
@@ -84,6 +89,8 @@ def main(argv=None) -> int:
 
     if args.int8_acc:
         os.environ["IEK_INT8_ACC"] = args.int8_acc
+    if args.int8_emit:
+        os.environ["IEK_INT8_EMIT"] = args.int8_emit
     if args.weights == "none":
         # explicit random-init opt-in (smoke/pipeline runs)
         log.warning("--weights none: serving RANDOM-INIT weights")

@@ -186,6 +186,7 @@ class SuperResolver:
             # ops/resize Pallas-upsample opt-in) — key them so toggling
             # recompiles instead of reusing a stale program
             _os.environ.get("IEK_INT8_ACC", "bf16"),
+            _os.environ.get("IEK_INT8_EMIT", "wide"),
             _os.environ.get("IEK_PALLAS_UPSAMPLE", "0"),
         )
 

@@ -352,23 +352,61 @@ def _deqf(acc, p):
     return acc.astype(jnp.float32) * p["sf"] + p["bias"]
 
 
+def _emit_s8():
+    import os as _os
+
+    return _os.environ.get("IEK_INT8_EMIT", "wide") == "s8"
+
+
+def _requant_c(acc, p, s_out):
+    """Fused requantize epilogue (IEK_INT8_EMIT=s8): dequant with the
+    per-cout folded scale + bias, relu, and re-quantize for the NEXT conv in
+    one elementwise chain rooted at int8 — so XLA emits the conv's output
+    buffer as s8 (1 B/elt) instead of materialising the f32 intermediate
+    that the unfused dequant->relu->_quant_c chain writes and re-reads
+    (AUDIT_FUSION.json: the int8 programs are HBM-bound on exactly these
+    branch legs).  clip(round(y/s), 0, 127) subsumes the relu: negative
+    pre-activations round to <= 0 and clip to 0.  Bit-exact vs the unfused
+    chain — identical f32 ops in the y >= 0 range, 0 either way below it."""
+    y = acc.astype(jnp.float32) * p["sf"] + p["bias"]
+    return jnp.clip(jnp.round(y * (1.0 / s_out)), 0.0, 127.0).astype(jnp.int8)
+
+
 def _light53_i8_xla(x, p):
     sc = p["actc"]
     xq = _quant_c(x, sc["x"])
-    a = jnp.maximum(_deqf(_qconv_xla(xq, p["conv_a1"]["qf"]), p["conv_a1"]), 0.0)
-    a = _deqf(_qconv_xla(_quant_c(a, sc["a"]), p["conv_a2"]["qf"]), p["conv_a2"])
-    b = jnp.maximum(_deqf(_qconv_xla(xq, p["conv_b1"]["qf"]), p["conv_b1"]), 0.0)
-    b = _deqf(_qconv_xla(_quant_c(b, sc["b"]), p["conv_b2"]["qf"]), p["conv_b2"])
+    if _emit_s8():
+        aq = _requant_c(_qconv_xla(xq, p["conv_a1"]["qf"]), p["conv_a1"], sc["a"])
+        bq = _requant_c(_qconv_xla(xq, p["conv_b1"]["qf"]), p["conv_b1"], sc["b"])
+    else:
+        a1 = jnp.maximum(
+            _deqf(_qconv_xla(xq, p["conv_a1"]["qf"]), p["conv_a1"]), 0.0
+        )
+        b1 = jnp.maximum(
+            _deqf(_qconv_xla(xq, p["conv_b1"]["qf"]), p["conv_b1"]), 0.0
+        )
+        aq, bq = _quant_c(a1, sc["a"]), _quant_c(b1, sc["b"])
+    a = _deqf(_qconv_xla(aq, p["conv_a2"]["qf"]), p["conv_a2"])
+    b = _deqf(_qconv_xla(bq, p["conv_b2"]["qf"]), p["conv_b2"])
     return (0.9 * x.astype(jnp.float32) + 0.1 * (a + b)).astype(x.dtype)
 
 
 def _light_i8_xla(x, p):
     sc = p["actc"]
-    t = jnp.maximum(
-        _deqf(_qconv_xla(_quant_c(x, sc["x"]), p["conv_a"]["qf"]), p["conv_a"]),
-        0.0,
-    )
-    u = _deqf(_qconv_xla(_quant_c(t, sc["t"]), p["conv_b"]["qf"]), p["conv_b"])
+    if _emit_s8():
+        tq = _requant_c(
+            _qconv_xla(_quant_c(x, sc["x"]), p["conv_a"]["qf"]),
+            p["conv_a"], sc["t"],
+        )
+    else:
+        t = jnp.maximum(
+            _deqf(
+                _qconv_xla(_quant_c(x, sc["x"]), p["conv_a"]["qf"]), p["conv_a"]
+            ),
+            0.0,
+        )
+        tq = _quant_c(t, sc["t"])
+    u = _deqf(_qconv_xla(tq, p["conv_b"]["qf"]), p["conv_b"])
     return (x.astype(jnp.float32) + 0.1 * u).astype(x.dtype)
 
 

@@ -92,12 +92,13 @@ def main(argv=None) -> int:
             args.synthetic, 256, seed=0, palette_images=train_images
         )
         if train_images:
-            # pin the real-image sampling mass (PatchSampler weights) so a
-            # large synthetic corpus cannot dilute a small real one
-            g = min(max(args.real_mass, 0.0), 1.0)
-            train_weights = [g / len(train_images)] * len(train_images) + [
-                (1.0 - g) / len(synth)
-            ] * len(synth)
+            from image_enhance_keras_tpu.data.pipeline import (
+                pinned_mass_weights,
+            )
+
+            train_weights = pinned_mass_weights(
+                len(train_images), len(synth), args.real_mass
+            )
         train_images = (train_images or []) + synth
     mesh = None
     if args.devices > 1:

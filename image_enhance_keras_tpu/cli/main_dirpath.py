@@ -87,10 +87,28 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import os
 
+    # the numeric knobs are trace-time env vars; scope them to this run so
+    # an in-process caller's next main() sees the documented defaults again
+    saved = {
+        k: os.environ.get(k) for k in ("IEK_INT8_ACC", "IEK_INT8_EMIT")
+    }
     if args.int8_acc:
         os.environ["IEK_INT8_ACC"] = args.int8_acc
     if args.int8_emit:
         os.environ["IEK_INT8_EMIT"] = args.int8_emit
+    try:
+        return _run(args)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _run(args) -> int:
+    import os
+
     if args.weights == "none":
         # explicit random-init opt-in (smoke/pipeline runs)
         log.warning("--weights none: serving RANDOM-INIT weights")
@@ -99,14 +117,18 @@ def main(argv=None) -> int:
         # never silently serve random-init weights (the reference
         # hard-loads its checkpoint, models.py:1217): resolve the zoo's
         # committed demo artifact, or fail loudly when the family has none
-        default = MODEL_REGISTRY[args.model].default_weights
-        if default and os.path.exists(default):
+        from image_enhance_keras_tpu.models.zoo import resolve_default_weights
+
+        spec = MODEL_REGISTRY[args.model]
+        default = resolve_default_weights(spec)  # CWD-independent
+        if default:
             log.info("no --weights given; using the demo checkpoint %r", default)
             args.weights = default
         else:
             raise SystemExit(
                 f"no --weights given and no committed demo checkpoint exists "
-                f"for {args.model!r} (default_weights={default!r}); train one "
+                f"for {args.model!r} "
+                f"(default_weights={spec.default_weights!r}); train one "
                 f"(cli.learn), pass --weights, or use '--weights none' for "
                 f"an explicit random-init run"
             )

@@ -306,9 +306,40 @@ def make_patchesStep(x, scale, patch_size, upscale=False, extraction_step=24, ve
 
 
 def extract_patches_2dv2(image, patch_size, max_patches=None, random_state=None):
-    """Vendored-sklearn dense extraction (img_utils.py:561-599; uint8)."""
-    out = make_patches(np.asarray(image), 1, patch_size[0])
-    return out.astype(np.uint8)
+    """Vendored-sklearn dense extraction (img_utils.py:561-599; uint8):
+    rectangular patch sizes, ``max_patches`` (int count or (0,1) fraction)
+    sampled at uniform-random positions with ``random_state``."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    img = np.asarray(image)
+    p_h, p_w = int(patch_size[0]), int(patch_size[1])
+    i_h, i_w = img.shape[:2]
+    n_h, n_w = i_h - p_h + 1, i_w - p_w + 1
+    if n_h <= 0 or n_w <= 0:
+        raise ValueError(
+            f"patch_size {p_h}x{p_w} exceeds image size {i_h}x{i_w}"
+        )
+    if max_patches is not None:
+        if 0 < max_patches < 1:
+            n = int(max_patches * n_h * n_w)
+        else:
+            n = int(max_patches)
+        rng = (
+            random_state
+            if isinstance(random_state, np.random.RandomState)
+            else np.random.RandomState(random_state)
+        )
+        rows = rng.randint(0, n_h, n)
+        cols = rng.randint(0, n_w, n)
+        out = np.stack(
+            [img[r : r + p_h, c : c + p_w] for r, c in zip(rows, cols)]
+        )
+        return out.astype(np.uint8)
+    win = sliding_window_view(img, (p_h, p_w), axis=(0, 1))
+    # (n_h, n_w, [C,] p_h, p_w) -> (N, p_h, p_w[, C])
+    if img.ndim == 3:
+        win = np.moveaxis(win, 2, -1)
+    return win.reshape(-1, p_h, p_w, *img.shape[2:]).astype(np.uint8)
 
 
 def transform_images(directory, output_directory, scaling_factor=2,
@@ -373,8 +404,11 @@ class DifvdsrDouble:
     def _find_weights(cls):
         import os
 
-        for cand in cls.WEIGHT_CANDIDATES:
-            if not os.path.exists(cand):
+        from image_enhance_keras_tpu.utils.paths import find_repo_asset
+
+        for rel in cls.WEIGHT_CANDIDATES:
+            cand = find_repo_asset(rel)  # CWD first, then the checkout
+            if cand is None:
                 continue
             # an orbax dir must be a COMPLETE save — an interrupted one
             # (e.g. missing manifest.ocdbt) would crash restore with an
@@ -457,13 +491,42 @@ class DifvdsrDouble:
                      suffix="scaled", patch_size=32, scalemulti=4, mode="patch",
                      verbose=True):
         """Dense-patch alternative path (models.py:419-604): overlapping
-        patches at step 4, each bicubic-downsampled by the net scale,
-        reconstructed and overlap-AVERAGED back (same-size enhance pass);
-        mode='fast' runs the whole-frame x4 forward instead."""
-        from image_enhance_keras_tpu.data.io import imread
+        patches at step 4, each bicubic-downsampled by ``scalemulti``
+        (models.py:499-508), reconstructed and overlap-AVERAGED back
+        (same-size enhance pass); mode='fast' runs the whole-frame x4
+        forward instead.  ``save_intermediate`` writes the first
+        downsampled patch to ``<stem>_intermediate_<ext>`` (the
+        reference's quirk: it saves images[0] AFTER the per-patch
+        downsample, models.py:525-530)."""
+        import os
+
+        from image_enhance_keras_tpu.data.io import imread, imwrite
 
         r = self._ensure()
+        net_scale = r.spec.net_scale
+        if mode == "patch" and int(scalemulti) != int(net_scale):
+            # the reference wires the downsample factor to the network's
+            # in-graph scale; any other value breaks its own rebuild too —
+            # fail loudly instead of silently running the default
+            raise ValueError(
+                f"upscalePatch: scalemulti={scalemulti} does not match the "
+                f"network scale ({net_scale}); the dense-patch path "
+                f"downsamples each patch by the net scale (models.py:499-508)"
+            )
         img = imread(img_path)
+        if save_intermediate and mode == "patch":
+            first = np.asarray(img, np.float32)[:patch_size, :patch_size]
+            lr = np.asarray(
+                _pil_resize(
+                    jnp.asarray(first),
+                    (patch_size // int(scalemulti), patch_size // int(scalemulti)),
+                )
+            )
+            stem, ext = os.path.splitext(img_path)
+            imwrite(
+                stem + "_intermediate_" + ext,
+                np.clip(np.round(lr), 0, 255).astype(np.uint8),
+            )
         if mode == "patch":
             out = r.upscale_patch_average(img, patch=patch_size, step=4)
         else:

@@ -314,22 +314,19 @@ class SuperResolver:
         crops (pre-upscaled-input models get the bicubic re-upscale, i.e.
         exactly the serving distribution)."""
         from image_enhance_keras_tpu.data.io import list_images
+        from image_enhance_keras_tpu.utils.paths import find_repo_asset
 
+        calib_dir = find_repo_asset(self.int8_calib_dir)  # CWD-independent
+        if calib_dir is None:
+            return None
         try:
             paths = [
-                p for p in list_images(self.int8_calib_dir)
+                p for p in list_images(calib_dir)
                 if "scaled" not in os.path.basename(p)
             ]
         except Exception:
             return None
-        # serving-distribution degradation factor: pre-upscaled-input models
-        # consume a bicubic-x{scalemulti} of the LR, so their crops round-trip
-        # by scalemulti; everything else consumes raw LR degraded by the
-        # NET's own scale (scalemulti would over-degrade e.g. difv4_x2)
-        if self.spec.pre_upscaled_input:
-            s = max(1, int(self.scalemulti))
-        else:
-            s = max(1, int(getattr(self.spec, "net_scale", self.scalemulti)))
+        s = self._calib_scale()
         imgs = []
         for p in paths:
             # cap AFTER the usability filter: a dir whose first files are
@@ -340,8 +337,20 @@ class SuperResolver:
                 img = np.asarray(imread(p))
             except Exception:
                 continue
+            if min(img.shape[:2]) < s * 16:
+                continue  # _calib_from_arrays would drop it; don't spend the cap
             imgs.append(img)
         return self._calib_from_arrays(imgs, s)
+
+    def _calib_scale(self) -> int:
+        """Serving-distribution degradation factor for int8 calibration:
+        pre-upscaled-input models consume a bicubic-x{scalemulti} of the LR,
+        so their crops round-trip by scalemulti; everything else consumes raw
+        LR degraded by the NET's own scale (scalemulti would over-degrade
+        e.g. difv4_x2)."""
+        if self.spec.pre_upscaled_input:
+            return max(1, int(self.scalemulti))
+        return max(1, int(getattr(self.spec, "net_scale", self.scalemulti)))
 
     def _calib_from_arrays(self, imgs, s: int) -> jnp.ndarray | None:
         """Shared degradation half of image calibration: HR arrays ->
@@ -421,15 +430,9 @@ class SuperResolver:
                         "calibrating on procedural dead-leaves images",
                         self.int8_calib_dir,
                     )
-                    s = (
-                        max(1, int(self.scalemulti))
-                        if self.spec.pre_upscaled_input
-                        else max(
-                            1, int(getattr(self.spec, "net_scale", self.scalemulti))
-                        )
-                    )
                     calib = self._calib_from_arrays(
-                        rich_synthetic_images(8, 256, seed=17), s
+                        rich_synthetic_images(8, 256, seed=17),
+                        self._calib_scale(),
                     )
             if calib is None:
                 calib = (

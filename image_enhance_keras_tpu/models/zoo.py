@@ -43,6 +43,17 @@ class ModelSpec:
     requires_divisible_shape: bool = False
 
 
+def resolve_default_weights(spec: "ModelSpec") -> str | None:
+    """Absolute path of the family's committed demo checkpoint, or None.
+
+    ``default_weights`` is repo-relative; resolve against the CWD first
+    (a repo-root invocation) and then against the checkout that owns this
+    package, so the CLI default works from any working directory."""
+    from image_enhance_keras_tpu.utils.paths import find_repo_asset
+
+    return find_repo_asset(spec.default_weights)
+
+
 def _make_didbl(dtype: Any = None, **kw) -> nn.Module:
     return DifvdsrDouble(dtype=dtype, **kw)
 

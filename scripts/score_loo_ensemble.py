@@ -46,11 +46,21 @@ def main() -> int:
         # earlier probe run in the same /tmp dir.
         # EMA runs export latest_ema.npz — that IS what the recorded row
         # scored (train_loo serves the EMA shadow when enabled)
+        ema = f"/tmp/loo_{corpus}_{fold}/latest_ema.npz"
+        latest = f"/tmp/loo_{corpus}_{fold}/latest"
         candidates = [
-            f"/tmp/loo_{corpus}_{fold}/latest_ema.npz",
-            f"/tmp/loo_{corpus}_{fold}/latest", f"/tmp/loo_{corpus}_{fold}/best",
+            ema, latest, f"/tmp/loo_{corpus}_{fold}/best",
             f"/tmp/loo_{fold}/latest", f"/tmp/loo_{fold}/best",
         ]
+        # a later non-EMA re-run in the same /tmp dir rewrites `latest`
+        # but leaves the old latest_ema.npz behind — never score the
+        # stale EMA artifact against the fresh row
+        if (
+            os.path.exists(ema)
+            and os.path.exists(latest)
+            and os.path.getmtime(ema) < os.path.getmtime(latest)
+        ):
+            candidates.remove(ema)
         ckpt = next((c for c in candidates if os.path.exists(c)), candidates[0])
         if row is None or not os.path.exists(ckpt):
             print(f"fold {fold}: no result/checkpoint, skipping", flush=True)

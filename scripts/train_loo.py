@@ -82,11 +82,21 @@ def main() -> int:
         # the measured regression of the first rich-corpus probe)
         gt_mass = os.environ.get("IEK_LOO_GT_MASS")
         weights = None
-        if gt_mass:
-            g = float(gt_mass)
-            weights = [g / len(fold_gts)] * len(fold_gts) + [
-                (1.0 - g) / len(fold_synth)
-            ] * len(fold_synth)
+        if gt_mass not in (None, ""):
+            from image_enhance_keras_tpu.data.pipeline import (
+                pinned_mass_weights,
+            )
+
+            weights = pinned_mass_weights(
+                len(fold_gts), len(fold_synth), float(gt_mass)
+            )
+            if weights is None:
+                print(f"fold {fold}: IEK_LOO_GT_MASS={gt_mass} ignored "
+                      f"(one corpus side is empty)", flush=True)
+            elif float(gt_mass) <= 0.0:
+                print(f"fold {fold}: IEK_LOO_GT_MASS=0 pins the real GTs "
+                      f"to ZERO sampling mass (synthetic-only run)",
+                      flush=True)
         ckpt_dir = f"/tmp/loo_{corpus}_{fold}"
         cfg = Config(
             model="didbl",

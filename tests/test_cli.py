@@ -128,7 +128,8 @@ def test_main_dirpath_int8_acc_flag(tmp_path, tiny_zoo, monkeypatch):
     rc = main([str(tmp_path), "--weights", "none", "--mode", "fast",
                "--forward", "int8", "--dtype", "bfloat16", "--int8-acc", "s32"])
     assert rc == 0
-    assert os.environ["IEK_INT8_ACC"] == "s32"
+    # the knob is scoped to the run: no leak into the caller's process env
+    assert "IEK_INT8_ACC" not in os.environ
     out_s32 = imread(str(tmp_path / "x_scaled(1x).png"))
     os.remove(tmp_path / "x_scaled(1x).png")
     rc = main([str(tmp_path), "--weights", "none", "--mode", "fast",
@@ -201,14 +202,21 @@ def test_scorpath_generate_int8_forward(tmp_path, tiny_zoo):
 
 
 def test_main_dirpath_weight_default_resolution(tmp_path, tiny_zoo, monkeypatch):
-    """Omitted --weights resolves the zoo's committed demo checkpoint or
-    fails loudly — never a silent random-init serve (reference hard-loads
-    its checkpoint, models.py:1217)."""
+    """Omitted --weights resolves the zoo's committed demo checkpoint from
+    ANY working directory, or fails loudly — never a silent random-init
+    serve (reference hard-loads its checkpoint, models.py:1217)."""
     from image_enhance_keras_tpu.cli.main_dirpath import main
+    from image_enhance_keras_tpu.models import zoo
 
+    monkeypatch.chdir(tmp_path)  # a foreign CWD must not break resolution
+    p = zoo.resolve_default_weights(zoo.MODEL_REGISTRY["didbl"])
+    assert p is not None and os.path.exists(p)
+
+    # a family with no committed artifact still fails loudly
     rng = np.random.default_rng(7)
     imwrite(str(tmp_path / "y.png"),
             rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
-    monkeypatch.chdir(tmp_path)  # demo npz not reachable from here
+    spec = zoo.ModelSpec("noart", lambda **k: tiny_zoo, 4, False, "t", None)
+    monkeypatch.setitem(zoo.MODEL_REGISTRY, "noart", spec)
     with pytest.raises(SystemExit, match="no committed demo checkpoint"):
-        main([str(tmp_path)])
+        main([str(tmp_path), "--model", "noart"])

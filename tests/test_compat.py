@@ -1,6 +1,7 @@
 """Compat layer: reference API names behave per the reference contracts."""
 
 import numpy as np
+import pytest
 
 from image_enhance_keras_tpu import compat
 
@@ -98,7 +99,13 @@ def test_missing_checkpoint_raises(tmp_path, monkeypatch):
     is forbidden (VERDICT r2 weak 1)."""
     import pytest
 
-    monkeypatch.chdir(tmp_path)  # no checkpoint anywhere in sight
+    monkeypatch.chdir(tmp_path)
+    # resolution is CWD-independent now, so simulate a clone with no
+    # loadable artifact by pointing the candidate list at nothing
+    monkeypatch.setattr(
+        compat.DifvdsrDouble, "WEIGHT_CANDIDATES",
+        ("weights_Double/nonexistent_a", "weights_Double/nonexistent_b"),
+    )
     m = compat.DifvdsrDouble(scale_factor=1)
     with pytest.raises(FileNotFoundError, match="random-init"):
         m.upscaleStepPatch("whatever.png")
@@ -260,3 +267,67 @@ def test_subimage_patch_generator_matches_build():
     gen = np.stack(list(compat.subimage_patch(img, 8, 16)))
     built = compat.subimage_build_patch_global(img, 8, 16)
     np.testing.assert_array_equal(gen.astype(float), built)
+
+
+def test_extract_patches_2dv2_full_semantics():
+    """Vendored-sklearn contract (img_utils.py:561-599): rectangular patch
+    sizes, max_patches count/fraction with a seeded random_state, dense
+    row-major order."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (24, 30, 3), dtype=np.uint8)
+
+    dense = compat.extract_patches_2dv2(img, (8, 12))
+    assert dense.shape == ((24 - 8 + 1) * (30 - 12 + 1), 8, 12, 3)
+    # row-major position order: first patch is the top-left window
+    np.testing.assert_array_equal(dense[0], img[:8, :12])
+    np.testing.assert_array_equal(dense[1], img[:8, 1:13])
+
+    few = compat.extract_patches_2dv2(img, (8, 8), max_patches=5,
+                                      random_state=7)
+    assert few.shape == (5, 8, 8, 3)
+    again = compat.extract_patches_2dv2(img, (8, 8), max_patches=5,
+                                        random_state=7)
+    np.testing.assert_array_equal(few, again)  # seeded = reproducible
+    # every sampled patch is a real window of the image
+    frac = compat.extract_patches_2dv2(img, (8, 8), max_patches=0.01,
+                                       random_state=0)
+    assert frac.shape[0] == int(0.01 * (24 - 8 + 1) * (30 - 8 + 1))
+
+    # grayscale input keeps 2-D patches
+    gray = rng.integers(0, 256, (20, 20), dtype=np.uint8)
+    g = compat.extract_patches_2dv2(gray, (6, 6))
+    assert g.shape == ((20 - 6 + 1) ** 2, 6, 6)
+
+    with pytest.raises(ValueError):
+        compat.extract_patches_2dv2(img, (64, 64))
+
+
+def test_upscale_patch_scalemulti_and_intermediate(tmp_path, monkeypatch):
+    """upscalePatch honors its reference params: a scalemulti that cannot
+    match the network scale errors loudly (never a silent default), and
+    save_intermediate writes the reference-named downsampled first patch
+    (models.py:525-530)."""
+    from image_enhance_keras_tpu.data.io import imread, imwrite
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble as Net
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+    import image_enhance_keras_tpu.engine as eng
+
+    tiny = Net(features=8, n_body53=1, n_light=1, n_tail53=0)
+    spec = ModelSpec("didbl", lambda **k: tiny, 4, False, "tiny", "w")
+    monkeypatch.setattr(eng, "get_model", lambda name, dtype=None: (tiny, spec))
+    monkeypatch.chdir(tmp_path)
+
+    rng = np.random.default_rng(5)
+    src = tmp_path / "img.png"
+    imwrite(str(src), rng.integers(0, 256, (40, 44, 3), dtype=np.uint8))
+    m = compat.DifvdsrDouble(scale_factor=1)
+    m.create_model(load_weights=False)
+
+    with pytest.raises(ValueError, match="scalemulti"):
+        m.upscalePatch(str(src), patch_size=16, scalemulti=2)
+
+    out = m.upscalePatch(str(src), patch_size=16, save_intermediate=True,
+                         return_image=True)
+    assert out.shape == (40, 44, 3)
+    inter = imread(str(tmp_path / "img_intermediate_.png"))
+    assert inter.shape == (4, 4, 3)  # 16-px first patch / scalemulti 4

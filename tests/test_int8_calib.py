@@ -194,3 +194,39 @@ def test_int8_subpixel_head():
     rd.int8_dynamic_tail = True
     out_d = rd.upscale(img).astype(np.int32)
     assert np.mean(np.abs(out_d - f32)) < 8.0
+
+
+def test_calib_cap_counts_only_usable_images(tmp_path):
+    """A calib dir whose first 8+ listed files are unusable thumbnails must
+    still reach the usable larger images — the cap counts only images that
+    pass the min-side filter (review r3 finding)."""
+    from image_enhance_keras_tpu.data.io import imwrite
+
+    rng = np.random.default_rng(71)
+    # 9 thumbnails that sort FIRST (min side < s*16 = 64 at scale 4)
+    for i in range(9):
+        imwrite(str(tmp_path / f"a{i}.png"),
+                rng.integers(0, 256, (20, 20, 3), dtype=np.uint8))
+    # one usable image sorting last
+    imwrite(str(tmp_path / "z.png"),
+            rng.integers(0, 256, (96, 96, 3), dtype=np.uint8))
+
+    r = _tiny_resolver()
+    r.int8_calib_dir = str(tmp_path)
+    calib = r._calib_from_images()
+    assert calib is not None
+    assert calib.shape[0] == 1  # the single usable image
+
+
+def test_pinned_mass_weights_helper():
+    """Shared sampling-mass helper (dedup of cli/learn.py and
+    scripts/train_loo.py): clamps, guards empty sides, sums to 1."""
+    from image_enhance_keras_tpu.data.pipeline import pinned_mass_weights
+
+    w = pinned_mass_weights(4, 16, 0.5)
+    assert len(w) == 20
+    assert abs(sum(w[:4]) - 0.5) < 1e-9 and abs(sum(w) - 1.0) < 1e-9
+    assert pinned_mass_weights(0, 16, 0.5) is None
+    assert pinned_mass_weights(4, 0, 0.5) is None
+    w = pinned_mass_weights(2, 2, 7.0)  # clamped to 1.0
+    assert abs(sum(w[:2]) - 1.0) < 1e-9

@@ -57,3 +57,19 @@ def test_history_logger_corrupt_file(tmp_path):
     h = HistoryLogger(p)
     h.log_epoch(1, {"loss": 1.0})
     assert h.as_dict()["epoch"] == [1]
+
+
+def test_find_repo_asset_cwd_independent(tmp_path, monkeypatch):
+    """Repo-relative assets (demo checkpoints, data_set5) resolve from any
+    working directory; CWD hits win; absolute misses stay None."""
+    from image_enhance_keras_tpu.utils.paths import find_repo_asset
+
+    monkeypatch.chdir(tmp_path)
+    p = find_repo_asset("weights_Double/didbl_set5demo.npz")
+    assert p is not None and p.startswith("/") and "didbl_set5demo" in p
+    assert find_repo_asset("data_set5") is not None
+    assert find_repo_asset("no_such_asset_anywhere") is None
+    assert find_repo_asset(None) is None
+    # a CWD-local file shadows the checkout
+    (tmp_path / "data_set5").mkdir()
+    assert find_repo_asset("data_set5") == "data_set5"

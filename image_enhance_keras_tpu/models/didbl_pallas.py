@@ -429,13 +429,36 @@ def _deq_dyn(acc, p, s_in):
     return acc.astype(jnp.float32) * (p["s"] * s_in) + p["bias"]
 
 
+def _requant_dyn(acc, p, s_in):
+    """Dynamic per-sample requant of a conv's accumulator (IEK_INT8_EMIT=s8
+    on the dynamic tail): dequant+relu fold into both the scale reduction
+    and the int8 emission, so the branch's f32 intermediate never
+    materialises — XLA re-reads the (bf16) accumulator for the reduce and
+    the requant instead of writing/reading a f32 map.  Same f32 ops as the
+    unfused dequant -> relu -> _quant_dyn_sample chain => bit-exact."""
+    y = jnp.maximum(acc.astype(jnp.float32) * (p["s"] * s_in) + p["bias"], 0.0)
+    s = jnp.maximum(
+        jnp.max(jnp.abs(y), axis=(1, 2, 3), keepdims=True), 1e-6
+    ) / 127.0
+    yq = jnp.clip(jnp.round(y / s), -127.0, 127.0).astype(jnp.int8)
+    return yq, s
+
+
 def _light53_i8_xla_dyn(x, p):
     xq, sx = _quant_dyn_sample(x)
-    a = jnp.maximum(_deq_dyn(_qconv_xla(xq, p["conv_a1"]["q"]), p["conv_a1"], sx), 0.0)
-    aq, sa = _quant_dyn_sample(a)
+    if _emit_s8():
+        aq, sa = _requant_dyn(_qconv_xla(xq, p["conv_a1"]["q"]), p["conv_a1"], sx)
+        bq, sb = _requant_dyn(_qconv_xla(xq, p["conv_b1"]["q"]), p["conv_b1"], sx)
+    else:
+        a1 = jnp.maximum(
+            _deq_dyn(_qconv_xla(xq, p["conv_a1"]["q"]), p["conv_a1"], sx), 0.0
+        )
+        b1 = jnp.maximum(
+            _deq_dyn(_qconv_xla(xq, p["conv_b1"]["q"]), p["conv_b1"], sx), 0.0
+        )
+        aq, sa = _quant_dyn_sample(a1)
+        bq, sb = _quant_dyn_sample(b1)
     a = _deq_dyn(_qconv_xla(aq, p["conv_a2"]["q"]), p["conv_a2"], sa)
-    b = jnp.maximum(_deq_dyn(_qconv_xla(xq, p["conv_b1"]["q"]), p["conv_b1"], sx), 0.0)
-    bq, sb = _quant_dyn_sample(b)
     b = _deq_dyn(_qconv_xla(bq, p["conv_b2"]["q"]), p["conv_b2"], sb)
     return (0.9 * x.astype(jnp.float32) + 0.1 * (a + b)).astype(x.dtype)
 

@@ -84,3 +84,18 @@ def test_cli_int8_emit_flag(tmp_path, monkeypatch):
     monkeypatch.delenv("IEK_INT8_EMIT", raising=False)
     args = build_parser().parse_args([str(tmp_path), "--int8-emit", "s8"])
     assert args.int8_emit == "s8"
+
+
+def test_s8_emit_bitexact_dynamic_tail(monkeypatch):
+    """s8 emission composes with the dynamic-per-tile tail (the requant
+    scale is computed from the same fused relu'd dequant): bit-exact."""
+    img = np.random.default_rng(65).integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    wide = _int8_out(img, "wide", monkeypatch, int8_dynamic_tail=True)
+    s8 = _int8_out(img, "s8", monkeypatch, int8_dynamic_tail=True)
+    np.testing.assert_array_equal(s8, wide)
+
+    wide2 = _int8_out(img, "wide", monkeypatch, mode="split",
+                      split_tile=8, split_tile_w=8, int8_dynamic_tail=True)
+    s82 = _int8_out(img, "s8", monkeypatch, mode="split",
+                    split_tile=8, split_tile_w=8, int8_dynamic_tail=True)
+    np.testing.assert_array_equal(s82, wide2)

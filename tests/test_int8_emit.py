@@ -99,3 +99,27 @@ def test_s8_emit_bitexact_dynamic_tail(monkeypatch):
     s82 = _int8_out(img, "s8", monkeypatch, mode="split",
                     split_tile=8, split_tile_w=8, int8_dynamic_tail=True)
     np.testing.assert_array_equal(s82, wide2)
+
+
+def test_s8_emit_export_roundtrip(tmp_path, monkeypatch):
+    """IEK_INT8_EMIT=s8 bakes into exported StableHLO artifacts at trace
+    time; the reloaded program matches the live wide-path output."""
+    from image_enhance_keras_tpu.runtime.export import export_forward, load_forward
+
+    img = np.random.default_rng(66).integers(0, 256, (24, 20, 3), dtype=np.uint8)
+    monkeypatch.setenv("IEK_INT8_EMIT", "wide")
+    r = _tiny_resolver()
+    r.forward_mode = "int8"
+    live_wide = np.asarray(
+        r._fast_fn((24, 20))(r._fwd_params(), img)
+    ).astype(np.int32)
+
+    monkeypatch.setenv("IEK_INT8_EMIT", "s8")
+    r8 = _tiny_resolver()
+    r8.forward_mode = "int8"
+    path = str(tmp_path / "tiny_int8_s8.iekx")
+    export_forward(r8, (24, 20), path)
+    monkeypatch.setenv("IEK_INT8_EMIT", "wide")  # artifact must not care
+    out = np.asarray(load_forward(path)(img)).astype(np.int32)
+    # fresh compile of identical math: at most .5-boundary uint8 flips
+    assert np.abs(out - live_wide).max() <= 1

@@ -539,11 +539,36 @@ class DifvdsrDouble:
                 suffix="scaled", patch_size=32, mode="patch", verbose=True):
         """Legacy whole-image / dense-patch mode (models.py:606-853):
         mode='patch' = dense overlap-average at step 16; mode='fast' = the
-        full-image branch."""
-        from image_enhance_keras_tpu.data.io import imread
+        full-image branch.  ``save_intermediate`` writes
+        ``<stem>_intermediate_<ext>``: the first network-input patch of the
+        pre-bicubic-x4 frame in patch mode, the prepared frame in fast mode
+        (the reference saves images[0], models.py:763-770)."""
+        import os
+
+        from image_enhance_keras_tpu.data.io import imread, imwrite
 
         r = self._ensure()
         img = imread(img_path)
+        if save_intermediate:
+            if mode == "patch":
+                # legacy path: whole frame bicubic x4 first (models.py:652),
+                # first patch of it, downsampled /4 back to the net input
+                up = np.asarray(
+                    _pil_resize(
+                        jnp.asarray(np.asarray(img, np.float32)),
+                        (img.shape[0] * 4, img.shape[1] * 4),
+                    )
+                )[:patch_size, :patch_size]
+                inter = np.asarray(
+                    _pil_resize(jnp.asarray(up), (patch_size // 4, patch_size // 4))
+                )
+            else:
+                inter = np.asarray(img, np.float32)
+            stem, ext = os.path.splitext(img_path)
+            imwrite(
+                stem + "_intermediate_" + ext,
+                np.clip(np.round(inter), 0, 255).astype(np.uint8),
+            )
         if mode == "patch":
             out = r.upscale_patch_average(img, patch=patch_size, step=16)
         else:

@@ -331,3 +331,33 @@ def test_upscale_patch_scalemulti_and_intermediate(tmp_path, monkeypatch):
     assert out.shape == (40, 44, 3)
     inter = imread(str(tmp_path / "img_intermediate_.png"))
     assert inter.shape == (4, 4, 3)  # 16-px first patch / scalemulti 4
+
+
+def test_legacy_upscale_save_intermediate(tmp_path, monkeypatch):
+    """Legacy upscale's save_intermediate writes the reference-named
+    images[0] artifact (models.py:763-770)."""
+    from image_enhance_keras_tpu.data.io import imread, imwrite
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble as Net
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+    import image_enhance_keras_tpu.engine as eng
+
+    tiny = Net(features=8, n_body53=1, n_light=1, n_tail53=0)
+    spec = ModelSpec("didbl", lambda **k: tiny, 4, False, "tiny", "w")
+    monkeypatch.setattr(eng, "get_model", lambda name, dtype=None: (tiny, spec))
+    monkeypatch.chdir(tmp_path)
+
+    rng = np.random.default_rng(6)
+    src = tmp_path / "img.png"
+    imwrite(str(src), rng.integers(0, 256, (40, 44, 3), dtype=np.uint8))
+    m = compat.DifvdsrDouble(scale_factor=1)
+    m.create_model(load_weights=False)
+
+    m.upscale(str(src), patch_size=32, save_intermediate=True,
+              return_image=True)
+    inter = imread(str(tmp_path / "img_intermediate_.png"))
+    assert inter.shape == (8, 8, 3)  # 32-px patch of the x4 frame, /4 back
+
+    m.upscale(str(src), mode="fast", save_intermediate=True,
+              return_image=True)
+    inter2 = imread(str(tmp_path / "img_intermediate_.png"))
+    np.testing.assert_array_equal(inter2, imread(str(src)))  # prepared frame

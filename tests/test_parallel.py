@@ -216,3 +216,19 @@ def test_sharded_split2d_remainder_chunking():
     a = sharded.upscale(img).astype(np.int32)
     b = single.upscale(img).astype(np.int32)
     assert np.abs(a - b).max() <= 1
+
+
+def test_sharded_int8_split2d_s8_emit_matches_wide(monkeypatch):
+    """IEK_INT8_EMIT=s8 composes with the sharded headline program: the
+    fused requant epilogue is bit-exact, so the sharded s8 output equals
+    the sharded wide output (same program modulo emission dtype)."""
+    img = np.random.default_rng(9).integers(0, 256, (48, 56, 3), dtype=np.uint8)
+    monkeypatch.setenv("IEK_INT8_EMIT", "wide")
+    _, sh_wide = _build_pair(mode="split", split_tile_w=16,
+                             forward_mode="int8")
+    a = sh_wide.upscale(img).astype(np.int32)
+    monkeypatch.setenv("IEK_INT8_EMIT", "s8")
+    _, sh_s8 = _build_pair(mode="split", split_tile_w=16,
+                           forward_mode="int8")
+    b = sh_s8.upscale(img).astype(np.int32)
+    np.testing.assert_array_equal(b, a)

@@ -37,12 +37,13 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import jax.numpy as jnp
 
+    from image_enhance_keras_tpu.cli.common import resolve_cli_weights
     from image_enhance_keras_tpu.engine import SuperResolver
     from image_enhance_keras_tpu.runtime.export import export_pipeline
 
     resolver = SuperResolver(
         model=args.model,
-        weights=args.weights,
+        weights=resolve_cli_weights(args.model, args.weights),
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
         forward=args.forward,
         mode=args.mode,

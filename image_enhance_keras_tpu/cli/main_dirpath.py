@@ -109,29 +109,9 @@ def main(argv=None) -> int:
 def _run(args) -> int:
     import os
 
-    if args.weights == "none":
-        # explicit random-init opt-in (smoke/pipeline runs)
-        log.warning("--weights none: serving RANDOM-INIT weights")
-        args.weights = None
-    elif args.weights is None:
-        # never silently serve random-init weights (the reference
-        # hard-loads its checkpoint, models.py:1217): resolve the zoo's
-        # committed demo artifact, or fail loudly when the family has none
-        from image_enhance_keras_tpu.models.zoo import resolve_default_weights
+    from image_enhance_keras_tpu.cli.common import resolve_cli_weights
 
-        spec = MODEL_REGISTRY[args.model]
-        default = resolve_default_weights(spec)  # CWD-independent
-        if default:
-            log.info("no --weights given; using the demo checkpoint %r", default)
-            args.weights = default
-        else:
-            raise SystemExit(
-                f"no --weights given and no committed demo checkpoint exists "
-                f"for {args.model!r} "
-                f"(default_weights={spec.default_weights!r}); train one "
-                f"(cli.learn), pass --weights, or use '--weights none' for "
-                f"an explicit random-init run"
-            )
+    args.weights = resolve_cli_weights(args.model, args.weights)
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None

@@ -46,13 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.generate:
+        from image_enhance_keras_tpu.cli.common import resolve_cli_weights
         from image_enhance_keras_tpu.engine import SuperResolver
         from image_enhance_keras_tpu.eval import evaluate_model
 
         import jax.numpy as jnp
 
         resolver = SuperResolver(
-            model=args.model, weights=args.weights,
+            model=args.model,
+            weights=resolve_cli_weights(args.model, args.weights),
             self_ensemble=args.self_ensemble,
             forward=args.forward,
             dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,

@@ -195,7 +195,7 @@ def test_scorpath_generate_int8_forward(tmp_path, tiny_zoo):
             rng.integers(0, 256, (48, 48, 3), dtype=np.uint8))
     js = str(tmp_path / "m.json")
     rc = main([str(tmp_path), "--generate", "--forward", "int8",
-               "--dtype", "bfloat16", "--json", js])
+               "--weights", "none", "--dtype", "bfloat16", "--json", js])
     assert rc == 0
     means = json.load(open(js))
     assert "ssim_y" in means
@@ -220,3 +220,24 @@ def test_main_dirpath_weight_default_resolution(tmp_path, tiny_zoo, monkeypatch)
     monkeypatch.setitem(zoo.MODEL_REGISTRY, "noart", spec)
     with pytest.raises(SystemExit, match="no committed demo checkpoint"):
         main([str(tmp_path), "--model", "noart"])
+
+
+def test_scorpath_and_export_never_silent_random_init(tmp_path, tiny_zoo, monkeypatch):
+    """Every resolver-building CLI shares the --weights policy (cli/common):
+    omitted --weights on a family with no committed artifact exits loudly —
+    scoring or exporting random-init weights silently is the r2-weak-1 bug
+    class."""
+    from image_enhance_keras_tpu.cli.scorpath import main as scor_main
+    from image_enhance_keras_tpu.cli.export_model import main as export_main
+    from image_enhance_keras_tpu.models import zoo
+
+    spec = zoo.ModelSpec("noart", lambda **k: tiny_zoo, 4, False, "t", None)
+    monkeypatch.setitem(zoo.MODEL_REGISTRY, "noart", spec)
+    rng = np.random.default_rng(9)
+    imwrite(str(tmp_path / "h.png"),
+            rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+    with pytest.raises(SystemExit, match="no committed demo checkpoint"):
+        scor_main([str(tmp_path), "--generate", "--model", "noart"])
+    with pytest.raises(SystemExit, match="no committed demo checkpoint"):
+        export_main([str(tmp_path / "x.iekx"), "--model", "noart",
+                     "--hw", "16", "16"])

@@ -93,7 +93,7 @@ MODEL_REGISTRY: dict[str, ModelSpec] = {
         net_scale=4,
         pre_upscaled_input=False,
         description="Difvdsr4 progressive 2x+2x (reference models.py:992-1142)",
-        default_weights=None,
+        default_weights="weights_demo_difv4/difv4_set5demo.npz",
     ),
     "difv4_x2": ModelSpec(
         "difv4_x2",
@@ -112,7 +112,7 @@ MODEL_REGISTRY: dict[str, ModelSpec] = {
         net_scale=1,
         pre_upscaled_input=True,
         description="Difvdsr refiner on pre-upscaled input (reference models.py:1274-1357)",
-        default_weights=None,
+        default_weights="weights_demo_difvdsr/difvdsr_set5demo.npz",
     ),
 }
 

@@ -49,11 +49,14 @@ def restore_params(path: str, like: Any = None) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def export_params_npz(path: str, params: Any) -> None:
+def export_params_npz(path: str, params: Any, dtype: Any = None) -> None:
     """Distribution format: a single .npz of named param arrays (no opt
-    state) — small, dependency-light, loadable anywhere."""
-    import jax
+    state) — small, dependency-light, loadable anywhere.
 
+    ``dtype`` (e.g. np.float16) casts the stored arrays: the committed demo
+    artifacts ship fp16 at half the repo weight — measured quality-neutral
+    (EVAL.md: the fp16 subpixel demo reproduces its row to 4 digits).
+    load_params_npz restores to the consumer tree's dtype."""
     flat = {}
 
     def walk(node, prefix):
@@ -61,7 +64,8 @@ def export_params_npz(path: str, params: Any) -> None:
             for k, v in node.items():
                 walk(v, f"{prefix}/{k}" if prefix else k)
         else:
-            flat[prefix] = np.asarray(node)
+            a = np.asarray(node)
+            flat[prefix] = a.astype(dtype) if dtype is not None else a
 
     walk(params, "")
     np.savez_compressed(path, **flat)

@@ -75,7 +75,8 @@ def main() -> int:
     best = trainer.ckpt.restore_best(like=trainer.state)
     params = best.params if best is not None else trainer.state.params
     npz = os.path.join(ckpt_dir, f"{model}_set5demo.npz")
-    export_params_npz(npz, params)
+    # fp16 storage halves the committed artifact; quality-neutral (EVAL.md)
+    export_params_npz(npz, params, dtype=np.float16)
 
     # CLI-workflow image eval: degrade GT /4, upscale, score (scorpath
     # protocol) — the same flow the zoo table rows use

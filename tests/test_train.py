@@ -389,3 +389,26 @@ def test_ema_data_parallel_matches_single_device(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(t1.state.ema),
                     jax.tree_util.tree_leaves(t8.state.ema)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_export_params_npz_fp16_roundtrip(tmp_path):
+    """fp16 demo-artifact storage: export casts, load restores the
+    consumer tree's dtype; values match to fp16 resolution."""
+    import numpy as np
+
+    from image_enhance_keras_tpu.train.checkpoints import (
+        export_params_npz,
+        load_params_npz,
+    )
+
+    params = {"a": {"kernel": np.random.default_rng(0).random((3, 3, 4, 4))
+                    .astype(np.float32),
+                    "bias": np.zeros((4,), np.float32)}}
+    p = str(tmp_path / "w.npz")
+    export_params_npz(p, params, dtype=np.float16)
+    raw = np.load(p)
+    assert raw["a/kernel"].dtype == np.float16
+    back = load_params_npz(p, like=params)
+    assert back["a"]["kernel"].dtype == np.float32
+    np.testing.assert_allclose(back["a"]["kernel"], params["a"]["kernel"],
+                               atol=5e-4)

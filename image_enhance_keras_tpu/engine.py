@@ -126,7 +126,7 @@ class SuperResolver:
             if weights is not None:
                 self.load_weights(weights)
         # keep params on device once
-        self.params = jax.device_put(self.params)
+        self.params = self._place_weights(self.params)
 
     # ------------------------------------------------------------------
     # weights
@@ -166,8 +166,20 @@ class SuperResolver:
                         )
                     picked.append(r_np.astype(t_np.dtype))
                 self.params = _jax.tree_util.tree_unflatten(treedef, picked)
-        self.params = jax.device_put(self.params)
+        self.params = self._place_weights(self.params)
         self._qparams = None  # re-quantize int8 weights on next use
+
+    def _weights_sharding(self):
+        """Sharding for weight trees (params/qparams); None = default
+        single-device placement.  ShardedResolver overrides with the
+        mesh-replicated sharding so weights reloaded or quantized AFTER
+        construction stay replicated instead of being re-broadcast from
+        device 0 on every jitted call."""
+        return None
+
+    def _place_weights(self, tree):
+        sh = self._weights_sharding()
+        return jax.device_put(tree, sh) if sh is not None else jax.device_put(tree)
 
     # ------------------------------------------------------------------
     # jitted tiled pipeline (one compile per padded-size bucket)
@@ -450,14 +462,14 @@ class SuperResolver:
                 from image_enhance_keras_tpu.models.zoo_int8 import int8_support
 
                 quantize = int8_support(self.module)[0]
-                qp = jax.device_put(quantize(self.params, calib))
+                qp = self._place_weights(quantize(self.params, calib))
             else:
                 from image_enhance_keras_tpu.models.didbl_pallas import (
                     quantize_didbl_params,
                 )
 
                 m = self.module
-                qp = jax.device_put(
+                qp = self._place_weights(
                     quantize_didbl_params(
                         self.params, n_body53=m.n_body53, n_light=m.n_light,
                         n_tail53=m.n_tail53, calib_x=calib, scale=m.scale,
@@ -819,7 +831,9 @@ class SuperResolver:
         s = step
         h2 = patch + -(-(max(h - patch, 0)) // s) * s
         w2 = patch + -(-(max(w - patch, 0)) // s) * s
-        key = ("avg", h2, w2, patch, s, self._fwd_key())
+        # (h, w) are baked into the closure (pad + final crop): two raw
+        # sizes can share a padded size, so both must key the cache
+        key = ("avg", h, w, h2, w2, patch, s, self._fwd_key())
         fn = self._jitted.get(key)
         if fn is None:
             forward = self._forward_fn()
@@ -839,10 +853,21 @@ class SuperResolver:
             self._jitted[key] = fn
         return np.asarray(fn(self._fwd_params(), jnp.asarray(img)))
 
+    def _pre_upscale_batch(self, x: jnp.ndarray) -> jnp.ndarray:
+        """difvdsr-family serving input: the net REFINES a bicubic-x4 frame
+        (models.py:652), so every x4 entry point bicubic-upscales first.
+        Identity for in-network-upscaling models.  x: (..., H, W, C) [0,255]."""
+        if not self.spec.pre_upscaled_input:
+            return x
+        s = self.scalemulti
+        return resize_pil_uint8(x, (x.shape[-3] * s, x.shape[-2] * s))
+
     def upscale_frame(self, frame: np.ndarray) -> np.ndarray:
         """Single-frame API without tiling — the ``upVideo`` contract
-        (models.py:165-182): ndarray in, x4 ndarray out."""
-        x = jnp.asarray(frame).astype(jnp.float32)[None] / 255.0
+        (models.py:165-182): ndarray in, x4 ndarray out (pre-upscaled-input
+        models get the bicubic x4 first, like upscale())."""
+        x = jnp.asarray(frame).astype(jnp.float32)[None]
+        x = self._pre_upscale_batch(x) / 255.0
         y = self._frame_fn(x.shape[1:3])(self._fwd_params(), x)
         return np.asarray(
             jnp.clip(jnp.round(y[0] * 255.0), 0, 255).astype(jnp.uint8)
@@ -861,7 +886,7 @@ class SuperResolver:
 
             def run(params, vid_u8):
                 def one(chunk):
-                    x = chunk.astype(jnp.float32) / 255.0
+                    x = self._pre_upscale_batch(chunk.astype(jnp.float32)) / 255.0
                     y = forward(params, x)
                     return jnp.clip(jnp.round(y * 255.0), 0.0, 255.0).astype(jnp.uint8)
 

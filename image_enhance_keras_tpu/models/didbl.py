@@ -78,6 +78,18 @@ class DifvdsrDouble(nn.Module):
         ]
         self.out = nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype)
 
+    @property
+    def split_halo(self) -> int:
+        """LR halo rows/cols the split-mode tail needs for bit-exact
+        stripes: the tail's HR receptive radius (3 px per light53 + 1 for
+        the 3x3 out conv) in LR units, +1 covering the upsampler's own
+        LR support (bilinear interleave / 3x3 subpixel conv).  3 at the
+        default n_tail53=2, scale=4 — but derived, so non-default tails
+        (e.g. n_tail53=4 -> 5) stay bit-exact instead of silently seaming
+        at stripe boundaries."""
+        rf_hr = 3 * self.n_tail53 + 1
+        return -(-rf_hr // self.scale) + 1
+
     def body(self, x):
         """Pre-upsample tower at LR resolution: level1 + 16x light53 + 6x light."""
         x = x.astype(self.dtype or x.dtype)

@@ -89,7 +89,13 @@ class ShardedResolver(SuperResolver):
         self.mesh = mesh
         self.n_devices = mesh.devices.size
         super().__init__(*args, **kw)
-        self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
+        # re-place: super().__init__ ran before the overridden sharding
+        # could apply (mesh was set above, so _place_weights already
+        # replicated; this keeps the invariant explicit)
+        self.params = self._place_weights(self.params)
+
+    def _weights_sharding(self):
+        return NamedSharding(self.mesh, P())
 
     def _pipeline_for(self, plan):
         key = (plan, self._fwd_key())
@@ -333,7 +339,9 @@ class ShardedResolver(SuperResolver):
                     chunk_frames = jax.lax.with_sharding_constraint(
                         chunk_frames, NamedSharding(mesh, P(axis))
                     )
-                    x = chunk_frames.astype(jnp.float32) / 255.0
+                    x = self._pre_upscale_batch(
+                        chunk_frames.astype(jnp.float32)
+                    ) / 255.0
                     y = forward(params, x)
                     return jnp.clip(jnp.round(y * 255.0), 0.0, 255.0).astype(jnp.uint8)
 
@@ -368,7 +376,9 @@ class ShardedResolver(SuperResolver):
         s = step
         h2 = patch + -(-(max(h - patch, 0)) // s) * s
         w2 = patch + -(-(max(w - patch, 0)) // s) * s
-        key = ("avg", h2, w2, patch, s, self._fwd_key())
+        # (h, w) bake into the closure (pad + final crop): two raw sizes
+        # can share a padded size, so both must key the cache
+        key = ("avg", h, w, h2, w2, patch, s, self._fwd_key())
         fn = self._jitted.get(key)
         if fn is None:
             forward = self._forward_fn()

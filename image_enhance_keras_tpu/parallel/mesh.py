@@ -37,8 +37,8 @@ def device_count() -> int:
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
-    n = n_devices or len(devs)
-    if n > len(devs):
+    n = len(devs) if n_devices is None else int(n_devices)
+    if n <= 0 or n > len(devs):
         raise ValueError(f"requested {n} devices, have {len(devs)}")
     return Mesh(np.array(devs[:n]), (axis,))
 

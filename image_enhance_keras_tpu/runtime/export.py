@@ -94,6 +94,21 @@ def export_pipeline(resolver, input_hw: tuple[int, int], path: str) -> int:
     elif resolver.mode == "fast" and hw[0] * hw[1] <= resolver.fast_max_pixels:
         inner = resolver._fast_fn(hw)
     else:
+        # same fallbacks as SuperResolver.upscale — and the same loud
+        # announcement: tiled output differs at tile borders
+        if resolver.mode == "split":
+            log.warning(
+                "export_pipeline: %r has no body/tail decomposition — "
+                "exporting the overlapped-TILE pipeline (border semantics "
+                "differ from a whole-frame program)", resolver.model_name,
+            )
+        elif resolver.mode == "fast":
+            log.warning(
+                "export_pipeline: %dx%d exceeds fast_max_pixels=%d — "
+                "exporting the overlapped-TILE pipeline (border semantics "
+                "differ from the whole-frame fast program)",
+                hw[0], hw[1], resolver.fast_max_pixels,
+            )
         inner = resolver._pipeline_for(resolver.plan_for(*hw))
 
     spec = jax.ShapeDtypeStruct((hw[0], hw[1], 3), jnp.uint8)

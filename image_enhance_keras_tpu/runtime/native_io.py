@@ -138,6 +138,8 @@ def gather_patches(img: np.ndarray, ys: np.ndarray, xs: np.ndarray, p: int) -> n
         )
     lib = _lib()
     n = len(ys)
+    if n == 0:
+        return np.empty((0, p, p, 3), np.uint8)  # both paths agree on empty
     if lib is None:
         return np.stack([img[y : y + p, x : x + p] for y, x in zip(ys, xs)])
     img = np.ascontiguousarray(img, dtype=np.uint8)

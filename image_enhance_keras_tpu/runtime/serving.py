@@ -95,8 +95,13 @@ def serve_directory(
     q: queue.Queue = queue.Queue(maxsize=lookahead)
     decode_busy = [0.0]
     t_start = time.perf_counter()
+    # decode batch >= thread count, else half the native decoder threads
+    # idle (the batch is drained before refilling); the queue bound alone
+    # caps memory
     dec = threading.Thread(
-        target=_decode_worker, args=(paths, q, lookahead, decode_threads, decode_busy),
+        target=_decode_worker,
+        args=(paths, q, max(lookahead, decode_threads), decode_threads,
+              decode_busy),
         daemon=True,
     )
     dec.start()
@@ -112,7 +117,13 @@ def serve_directory(
         encode_busy[0] += time.perf_counter() - t0
 
     with ThreadPoolExecutor(max_workers=encode_threads) as pool:
-        futures = []
+        from collections import deque
+
+        futures: deque = deque()
+        # backpressure: each pending future pins a full x4 uint8 output
+        # (~100 MB for a 1080p input) — when the device outruns the
+        # encoders, block on the oldest instead of queueing unboundedly
+        max_pending = 2 * encode_threads
         while True:
             item = q.get()
             if item is None:
@@ -124,6 +135,8 @@ def serve_directory(
             out_px += out.shape[0] * out.shape[1]
             n += 1
             futures.append(pool.submit(_encode, output_name(path, suffix, scale_label), out))
+            while len(futures) >= max_pending:
+                futures.popleft().result()
         for f in futures:
             f.result()
     wall = time.perf_counter() - t_start

@@ -462,3 +462,54 @@ def test_self_ensemble_identity_for_equivariant_upscaler():
     img = np.random.default_rng(4).integers(0, 256, (9, 13, 3), dtype=np.uint8)
     out = r.upscale(img)
     assert np.array_equal(out, r._upscale_single(img))
+
+
+def _tiny_pre_upscaled_resolver():
+    import jax
+
+    from image_enhance_keras_tpu.models.difvdsr import Difvdsr
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+    from image_enhance_keras_tpu.models import init_params
+
+    module = Difvdsr(features=8, n_blocks=1)
+    r = SuperResolver.__new__(SuperResolver)
+    r.model_name = "difvdsr_tiny"
+    r.module = module
+    r.spec = ModelSpec("difvdsr_tiny", lambda **k: module, 1, True, "tiny", "w")
+    r.patch, r.step, r.crop = 48, 32, 8
+    r.scalemulti = 4
+    r.tile_chunk = 4
+    r.mode = "patch"
+    r.fast_max_pixels = 1 << 20
+    r.forward_mode = "xla"
+    r._dtype = None
+    r._jitted = {}
+    r._jitted_fast = {}
+    r.params = init_params(module, jax.random.PRNGKey(0), input_hw=(16, 16))
+    return r
+
+
+def test_pre_upscaled_frame_and_video_x4():
+    """upscale_frame / upscale_video honor pre_upscaled_input (review r3):
+    difvdsr-family frames come back x4, matching upscale()'s contract."""
+    r = _tiny_pre_upscaled_resolver()
+    frame = np.random.default_rng(21).integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    out = r.upscale_frame(frame)
+    assert out.shape == (80, 96, 3)
+
+    vid = np.random.default_rng(22).integers(0, 256, (3, 20, 24, 3), dtype=np.uint8)
+    outs = r.upscale_video(vid)
+    assert outs.shape == (3, 80, 96, 3)
+    np.testing.assert_array_equal(outs[0], r.upscale_frame(vid[0]))
+
+
+def test_patch_average_cache_keys_raw_size():
+    """Two raw sizes sharing a padded size must not share a jitted program
+    (the closure bakes the raw (h, w) pad/crop — review r3 stale-cache bug)."""
+    r = _tiny_resolver()
+    a = np.random.default_rng(23).integers(0, 256, (33, 33, 3), dtype=np.uint8)
+    b = np.random.default_rng(24).integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    out_a = r.upscale_patch_average(a, patch=32, step=16)
+    assert out_a.shape == (33, 33, 3)
+    out_b = r.upscale_patch_average(b, patch=32, step=16)
+    assert out_b.shape == (48, 48, 3)  # stale reuse returned 33x33 garbage

@@ -168,3 +168,13 @@ def test_keras_import_shape_mismatch_raises(tmp_path):
     _write_fake_keras_h5(path, [(3, 3, 3, 7)] * len(keras_conv_order("didbl")))
     with pytest.raises(ValueError):
         import_keras_weights(path, "didbl", params)
+
+
+def test_didbl_split_halo_derived():
+    """split_halo derives from the tail depth (review r3: the engine's
+    fallback 3 is only right for n_tail53=2) and matches the known values."""
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+
+    assert DifvdsrDouble().split_halo == 3               # (3*2+1)/4 -> 2, +1
+    assert DifvdsrDouble(n_tail53=4).split_halo == 5     # (13)/4 -> 4, +1
+    assert DifvdsrDouble(n_tail53=1, scale=4).split_halo == 2

@@ -98,3 +98,16 @@ def test_gather_patches():
     got = native_io.gather_patches(img, ys, xs, 8)
     want = np.stack([img[y : y + 8, x : x + 8] for y, x in zip(ys, xs)])
     np.testing.assert_array_equal(got, want)
+
+
+def test_gather_patches_empty_corner_list():
+    """Empty corner lists return an empty (0,p,p,3) array on BOTH the
+    native and the pure-Python path (review r3: np.stack([]) crashed the
+    fallback)."""
+    import numpy as np
+
+    from image_enhance_keras_tpu.runtime.native_io import gather_patches
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    out = gather_patches(img, [], [], 8)
+    assert out.shape == (0, 8, 8, 3) and out.dtype == np.uint8

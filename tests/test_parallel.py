@@ -232,3 +232,10 @@ def test_sharded_int8_split2d_s8_emit_matches_wide(monkeypatch):
                            forward_mode="int8")
     b = sh_s8.upscale(img).astype(np.int32)
     np.testing.assert_array_equal(b, a)
+
+
+def test_make_mesh_rejects_zero_devices():
+    with pytest.raises(ValueError):
+        make_mesh(0)
+    with pytest.raises(ValueError):
+        make_mesh(-1)

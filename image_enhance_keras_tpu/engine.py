@@ -838,20 +838,33 @@ class SuperResolver:
         if fn is None:
             forward = self._forward_fn()
             scale = self.spec.net_scale
+            n = ((h2 - patch) // s + 1) * ((w2 - patch) // s + 1)
 
             def run(params, img_u8):
                 x = img_u8.astype(jnp.float32)
                 padded = jnp.pad(x, ((0, h2 - h), (0, w2 - w), (0, 0)))
                 tiles = extract_dense_patches(padded, patch, s)
+                # sharded engines pad the batch to a device multiple and
+                # annotate the shard axis here; identity on one device
+                tiles = self._constrain_tile_batch(tiles)
                 lr = resize_pil_uint8(tiles, (patch // scale, patch // scale))
-                y = forward(params, lr / 255.0) * 255.0
+                y = (forward(params, lr / 255.0) * 255.0)[:n]
                 recon = reconstruct_average(y, (h2, w2), step=s, pad=4)
                 out = recon[:h, :w]
                 return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
 
-            fn = jax.jit(run)
+            fn = self._jit_replicated(run)
             self._jitted[key] = fn
         return np.asarray(fn(self._fwd_params(), jnp.asarray(img)))
+
+    def _constrain_tile_batch(self, tiles: jnp.ndarray) -> jnp.ndarray:
+        """Hook for sharded engines: pad a dense tile batch to a device
+        multiple and annotate its sharding.  Identity on one device."""
+        return tiles
+
+    def _jit_replicated(self, run):
+        """Hook for sharded engines: jit with replicated in/out shardings."""
+        return jax.jit(run)
 
     def _pre_upscale_batch(self, x: jnp.ndarray) -> jnp.ndarray:
         """difvdsr-family serving input: the net REFINES a bicubic-x4 frame
@@ -879,18 +892,19 @@ class SuperResolver:
         forward in chunks inside one jitted program per (T, H, W) shape."""
         frames = np.asarray(frames)
         t, h, w = frames.shape[:3]
-        key = ("video", t, h, w, frame_chunk, self._fwd_key())
+        tc = self._video_chunk(frame_chunk)
+        key = ("video", t, h, w, tc, self._fwd_key())
         fn = self._jitted.get(key)
         if fn is None:
             forward = self._forward_fn()
 
             def run(params, vid_u8):
                 def one(chunk):
+                    chunk = self._constrain_frame_batch(chunk)
                     x = self._pre_upscale_batch(chunk.astype(jnp.float32)) / 255.0
                     y = forward(params, x)
                     return jnp.clip(jnp.round(y * 255.0), 0.0, 255.0).astype(jnp.uint8)
 
-                tc = frame_chunk
                 n_pad = (t + tc - 1) // tc * tc
                 v = vid_u8
                 if n_pad != t:
@@ -900,9 +914,18 @@ class SuperResolver:
                 out = lax.map(one, v.reshape(n_pad // tc, tc, *v.shape[1:]))
                 return out.reshape(n_pad, *out.shape[2:])[:t]
 
-            fn = jax.jit(run)
+            fn = self._jit_replicated(run)
             self._jitted[key] = fn
         return np.asarray(fn(self._fwd_params(), jnp.asarray(frames)))
+
+    def _video_chunk(self, frame_chunk: int) -> int:
+        """Hook for sharded engines: per-device chunking means the global
+        chunk is a device-count multiple.  Identity on one device."""
+        return max(1, frame_chunk)
+
+    def _constrain_frame_batch(self, chunk: jnp.ndarray) -> jnp.ndarray:
+        """Hook for sharded engines: annotate the frame-batch sharding."""
+        return chunk
 
     def _frame_fn(self, hw):
         # per-instance cache like _jitted/_jitted_fast (an lru_cache on the

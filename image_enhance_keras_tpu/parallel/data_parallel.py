@@ -320,92 +320,36 @@ class ShardedResolver(SuperResolver):
         return fn
 
     # -- batched modes: shard the batch axis --------------------------------
-    def upscale_video(self, frames, frame_chunk: int = 1):
-        """Frames shard across chips; chunking is per device."""
-        import numpy as np
+    # upscale_video / upscale_patch_average reuse the BASE implementations
+    # wholesale through these hooks (copy-divergence between the two paths
+    # carried a stale-cache bug through r3's review — never again):
+    #   * _video_chunk: the global chunk is a device-count multiple so each
+    #     shard is equal;
+    #   * _constrain_tile_batch: pad the dense batch to a device multiple
+    #     and annotate the shard axis;
+    #   * _constrain_frame_batch: annotate the frame batch;
+    #   * _jit_replicated: replicated in/out shardings.
 
-        frames = np.asarray(frames)
-        t, h, w = frames.shape[:3]
-        nd = self.n_devices
-        chunk = max(1, frame_chunk) * nd
-        key = ("video", t, h, w, chunk, self._fwd_key())
-        fn = self._jitted.get(key)
-        if fn is None:
-            forward = self._forward_fn()
-            mesh, axis = self.mesh, _axis(self.mesh)
+    def _video_chunk(self, frame_chunk: int) -> int:
+        return max(1, frame_chunk) * self.n_devices
 
-            def run(params, vid_u8):
-                def one(chunk_frames):
-                    chunk_frames = jax.lax.with_sharding_constraint(
-                        chunk_frames, NamedSharding(mesh, P(axis))
-                    )
-                    x = self._pre_upscale_batch(
-                        chunk_frames.astype(jnp.float32)
-                    ) / 255.0
-                    y = forward(params, x)
-                    return jnp.clip(jnp.round(y * 255.0), 0.0, 255.0).astype(jnp.uint8)
-
-                n_pad = (t + chunk - 1) // chunk * chunk
-                v = vid_u8
-                if n_pad != t:
-                    v = jnp.concatenate(
-                        [v, jnp.zeros((n_pad - t,) + v.shape[1:], v.dtype)]
-                    )
-                out = jax.lax.map(one, v.reshape(n_pad // chunk, chunk, *v.shape[1:]))
-                return out.reshape(n_pad, *out.shape[2:])[:t]
-
-            fn = jax.jit(run, in_shardings=(self._repl(), self._repl()),
-                         out_shardings=self._repl())
-            self._jitted[key] = fn
-        import numpy as _np
-
-        return _np.asarray(fn(self._fwd_params(), jnp.asarray(frames)))
-
-    def upscale_patch_average(self, img, patch: int = 32, step: int = 16):
-        """Dense patch batch sharded across chips (same math as the base)."""
-        import numpy as np
-
-        from image_enhance_keras_tpu.ops.resize import resize_pil_uint8
-        from image_enhance_keras_tpu.tiling.dense import (
-            extract_dense_patches,
-            reconstruct_average,
+    def _constrain_frame_batch(self, chunk):
+        return jax.lax.with_sharding_constraint(
+            chunk, NamedSharding(self.mesh, P(_axis(self.mesh)))
         )
 
-        img = np.asarray(img)
-        h, w = img.shape[:2]
-        s = step
-        h2 = patch + -(-(max(h - patch, 0)) // s) * s
-        w2 = patch + -(-(max(w - patch, 0)) // s) * s
-        # (h, w) bake into the closure (pad + final crop): two raw sizes
-        # can share a padded size, so both must key the cache
-        key = ("avg", h, w, h2, w2, patch, s, self._fwd_key())
-        fn = self._jitted.get(key)
-        if fn is None:
-            forward = self._forward_fn()
-            scale = self.spec.net_scale
-            mesh, axis = self.mesh, _axis(self.mesh)
-            nd = self.n_devices
-            n = ((h2 - patch) // s + 1) * ((w2 - patch) // s + 1)
-            n_pad = (n + nd - 1) // nd * nd
+    def _constrain_tile_batch(self, tiles):
+        nd = self.n_devices
+        n = tiles.shape[0]
+        n_pad = (n + nd - 1) // nd * nd
+        if n_pad != n:
+            tiles = jnp.concatenate(
+                [tiles, jnp.zeros((n_pad - n,) + tiles.shape[1:], tiles.dtype)]
+            )
+        return jax.lax.with_sharding_constraint(
+            tiles, NamedSharding(self.mesh, P(_axis(self.mesh)))
+        )
 
-            def run(params, img_u8):
-                x = img_u8.astype(jnp.float32)
-                padded = jnp.pad(x, ((0, h2 - h), (0, w2 - w), (0, 0)))
-                tiles = extract_dense_patches(padded, patch, s)
-                if n_pad != n:
-                    tiles = jnp.concatenate(
-                        [tiles, jnp.zeros((n_pad - n,) + tiles.shape[1:], tiles.dtype)]
-                    )
-                tiles = jax.lax.with_sharding_constraint(
-                    tiles, NamedSharding(mesh, P(axis))
-                )
-                lr = resize_pil_uint8(tiles, (patch // scale, patch // scale))
-                y = (forward(params, lr / 255.0) * 255.0)[:n]
-                recon = reconstruct_average(y, (h2, w2), step=s, pad=4)
-                out = recon[:h, :w]
-                return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
-
-            fn = jax.jit(run, in_shardings=(self._repl(), self._repl()),
-                         out_shardings=self._repl())
-            self._jitted[key] = fn
-        return np.asarray(fn(self._fwd_params(), jnp.asarray(img)))
+    def _jit_replicated(self, run):
+        return jax.jit(run, in_shardings=(self._repl(), self._repl()),
+                       out_shardings=self._repl())

@@ -103,10 +103,11 @@ class DifvdsrDouble(nn.Module):
     def tail(self, h):
         """x4 upsample + post-upsample blocks + out conv.
 
-        Spatially local with a 7-px HR receptive-field radius past the
-        upsample (2 light53 blocks of radius 3 + the 3x3 out conv), so the
-        engine can call it on LR stripes with a 2-px LR halo and reproduce
-        the whole-frame result exactly (engine._split_fn).
+        Spatially local with a (3*n_tail53 + 1)-px HR receptive-field radius
+        past the upsample (light53 blocks of radius 3 + the 3x3 out conv),
+        so the engine can call it on LR stripes carrying ``split_halo`` LR
+        rows of context (3 at the default config) and reproduce the
+        whole-frame result exactly (engine._split_fn).
         """
         h = h.astype(self.dtype or h.dtype)
         if self.upsampler == "tf1_bilinear":

@@ -20,6 +20,10 @@ from typing import Any
 
 import numpy as np
 
+from image_enhance_keras_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
 __all__ = ["keras_conv_order", "load_keras_h5", "import_keras_weights"]
 
 
@@ -76,13 +80,31 @@ def load_keras_h5(path: str) -> list[tuple[str, np.ndarray, np.ndarray]]:
     file's stored layer order."""
     import h5py
 
+    import re as _re
+
+    def _natural(name: str):
+        # conv2d_10 must sort after conv2d_2: split digit runs numerically
+        return [int(t) if t.isdigit() else t for t in _re.split(r"(\d+)", name)]
+
     out = []
     with h5py.File(path, "r") as f:
         root = f["model_weights"] if "model_weights" in f else f
-        layer_names = [
-            n.decode() if isinstance(n, bytes) else n
-            for n in root.attrs.get("layer_names", list(root.keys()))
-        ]
+        if "layer_names" in root.attrs:
+            layer_names = [
+                n.decode() if isinstance(n, bytes) else n
+                for n in root.attrs["layer_names"]
+            ]
+        else:
+            # h5py key order is ALPHABETICAL (conv2d_1, conv2d_10,
+            # conv2d_11, ..., conv2d_2) — positional import over that order
+            # would silently permute same-shaped conv layers.  Natural-sort
+            # and say so; only Keras-written files carry the attr.
+            layer_names = sorted(root.keys(), key=_natural)
+            log.warning(
+                "%s has no 'layer_names' attribute (not written by Keras?); "
+                "using natural-sorted group order — verify the import "
+                "against recorded activations", path,
+            )
         for name in layer_names:
             g = root[name]
             weight_names = [

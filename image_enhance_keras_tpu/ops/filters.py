@@ -80,8 +80,16 @@ def separable_filter2d(
     if k_w is None:
         k_w = k_h
     x_nhwc, ndim = _to_nhwc(x)
+    # scipy origin-0 convention: an even-length kernel spans
+    # [-(n//2), n - n//2 - 1], so pad n//2 before and (n-1)//2 after —
+    # symmetric padding for odd kernels, and even sizes (uniform_filter
+    # size=4, ssim win_size=4) keep the (H, W) output instead of growing
     rh, rw = len(k_h) // 2, len(k_w) // 2
-    xp = jnp.pad(x_nhwc, ((0, 0), (rh, rh), (rw, rw), (0, 0)), mode=pad_mode)
+    xp = jnp.pad(
+        x_nhwc,
+        ((0, 0), (rh, (len(k_h) - 1) // 2), (rw, (len(k_w) - 1) // 2), (0, 0)),
+        mode=pad_mode,
+    )
     y = _depthwise(xp, np.asarray(k_h, np.float32)[:, None])
     y = _depthwise(y, np.asarray(k_w, np.float32)[None, :])
     return _from_nhwc(y, ndim)

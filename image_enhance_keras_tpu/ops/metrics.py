@@ -25,9 +25,14 @@ __all__ = ["psnr_nitre", "psnr_vdsr", "psnr_shave", "psnr_peak1", "ssim", "mse",
 
 
 def _shave(x: jnp.ndarray, border: int) -> jnp.ndarray:
+    """Crop ``border`` px from the SPATIAL axes: (H, W), (H, W, C) and
+    batched (N, H, W, C) all shave H/W (never the batch axis)."""
     if border <= 0:
         return x
-    return x[border:-border, border:-border, ...]
+    sp = slice(border, -border)
+    if x.ndim == 2:
+        return x[sp, sp]
+    return x[..., sp, sp, :]
 
 
 def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -117,7 +122,9 @@ def _ssim_single(
     s = (a1 * a2) / (b1 * b2)
 
     pad = (win_size - 1) // 2
-    return jnp.mean(s[pad:-pad, pad:-pad])
+    # slice arithmetic that stays full-array at pad=0 (win_size=1):
+    # s[0:-0] would be empty and jnp.mean of it silently NaN
+    return jnp.mean(s[pad : s.shape[0] - pad, pad : s.shape[1] - pad])
 
 
 def ssim(
@@ -140,6 +147,11 @@ def ssim(
     """
     if x.shape != y.shape:
         raise ValueError(f"shape mismatch {x.shape} vs {y.shape}")
+    if win_size < 3 or win_size % 2 == 0:
+        # skimage contract: an even window errors ('Window size must be
+        # odd') and win_size=1 divides by zero in the sample-covariance
+        # normalisation — fail loudly instead of returning a wrong score
+        raise ValueError(f"win_size must be odd and >= 3, got {win_size}")
     kwargs = dict(
         data_range=data_range,
         win_size=win_size,

@@ -17,8 +17,10 @@ Layout notes (pallas_guide.md):
     lane dimension, so every dot is a (H*W, 128) x (128, 128) MXU matmul;
   * accumulation in f32 (`preferred_element_type`), params f32, activations
     cast to the compute dtype outside;
-  * grid = one program per tile in the batch; whole 96x96x128 tiles plus
-    halo fit comfortably in the ~16MB of VMEM (2.6MB bf16 / 5.3MB f32).
+  * grid = one program per tile in the batch; tiles up to ~64x64x128 fit
+    the ~16MB of VMEM once f32 intermediates and the 5x5 weight copies are
+    counted (_check_vmem fails fast above that — 96x96 bf16 needs ~12.8MB
+    of halo'd buffers alone; use the XLA path or smaller tiles there).
 """
 
 from __future__ import annotations

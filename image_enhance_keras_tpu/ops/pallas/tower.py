@@ -30,19 +30,13 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_light53_chain", "fused_light_chain"]
 
 
-def _conv_shifted(x, w, out_h, out_w, k):
-    cin = x.shape[-1]
-    acc = jnp.zeros((out_h * out_w, w.shape[-1]), jnp.float32)
-    for dy in range(k):
-        for dx in range(k):
-            xs = x[dy : dy + out_h, dx : dx + out_w, :].reshape(out_h * out_w, cin)
-            acc += jnp.dot(xs, w[dy, dx], preferred_element_type=jnp.float32)
-    return acc
-
-
-def _relu_pad(t_flat, h, w, pad, dtype):
-    t = jnp.maximum(t_flat, 0.0).reshape(h, w, -1)
-    return jnp.pad(t, ((pad, pad), (pad, pad), (0, 0))).astype(dtype)
+# one source of truth for the in-kernel conv/pad helpers: numerics changes
+# in blocks.py must apply to the chain kernels too (forward='pallas' vs
+# 'pallas_chain' divergence would be silent otherwise)
+from image_enhance_keras_tpu.ops.pallas.blocks import (  # noqa: E402
+    _conv_shifted,
+    _relu_pad,
+)
 
 
 def _light53_body(x, ws, h, w, res_scale, identity_scale, dtype):

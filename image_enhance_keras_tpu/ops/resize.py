@@ -181,6 +181,12 @@ def resize2d(
     oh, ow = int(out_hw[0]), int(out_hw[1])
     if (h, w) == (oh, ow):
         return x
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        # integer input: casting the FRACTIONAL weights to x.dtype would
+        # truncate them to 0/1 and overflow in the integer einsum — promote
+        # the data instead (callers wanting uint8 round-trips use
+        # resize_pil_uint8, which owns the rounding point)
+        x = x.astype(jnp.float32)
     wh = jnp.asarray(resize_weight_matrix(h, oh, method), dtype=x.dtype)
     ww = jnp.asarray(resize_weight_matrix(w, ow, method), dtype=x.dtype)
     y = jnp.einsum("oh,...hwc->...owc", wh, x, precision=precision)
@@ -310,7 +316,10 @@ def resize_pil_uint8(
     xf = x.astype(jnp.float32)
     ww = jnp.asarray(resize_weight_matrix(w, ow, method))
     wh = jnp.asarray(resize_weight_matrix(h, oh, method))
+    # PIL's fixed-point rounding is (v + 0.5) >> PRECISION == floor(v+0.5):
+    # half-UP, not jnp.round's half-to-even — exact-.5 intermediates (which
+    # bicubic's binary weights do produce) differ by 1 LSB otherwise
     y = jnp.einsum("pw,...hwc->...hpc", ww, xf, precision=lax.Precision.HIGHEST)
-    y = jnp.clip(jnp.round(y), 0.0, 255.0)
+    y = jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0)
     y = jnp.einsum("oh,...hpc->...opc", wh, y, precision=lax.Precision.HIGHEST)
-    return jnp.clip(jnp.round(y), 0.0, 255.0)
+    return jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0)

@@ -100,7 +100,14 @@ def reconstruct_average(
     h, w = out_hw
     n, p, _, c = patches.shape
     idx, mask, counts = _scatter_plan(h, w, p, step, pad)
-    vals = (patches.reshape(-1, c) * jnp.asarray(mask))
-    acc = jnp.zeros((h * w, c), patches.dtype).at[jnp.asarray(idx)].add(vals)
+    # accumulate in f32 regardless of patch dtype: integer patches would
+    # wrap at the dtype max as overlaps add up, and bf16 loses ~2 decimal
+    # digits over dozens of contributions at step=1
+    vals = patches.reshape(-1, c).astype(jnp.float32) * jnp.asarray(mask)
+    acc = jnp.zeros((h * w, c), jnp.float32).at[jnp.asarray(idx)].add(vals)
     out = acc / jnp.asarray(counts)[:, None]
-    return out.reshape(h, w, c)
+    return out.reshape(h, w, c).astype(
+        patches.dtype
+        if jnp.issubdtype(patches.dtype, jnp.floating)
+        else jnp.float32
+    )

@@ -82,3 +82,21 @@ def test_smooth_gan_labels_ranges():
     s = np.asarray(smooth_gan_labels(y, jax.random.PRNGKey(0)))
     assert (s[y == 0] <= 0.3).all() and (s[y == 0] >= 0.0).all()
     assert (s[np.asarray(y) == 1] >= 0.7).all() and (s[np.asarray(y) == 1] <= 1.2).all()
+
+
+def test_reconstruct_average_uint8_patches():
+    """Integer patches accumulate in f32 (review r3: uint8 scatter-add
+    wrapped at 256 across overlaps)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from image_enhance_keras_tpu.tiling.dense import (
+        extract_dense_patches,
+        reconstruct_average,
+    )
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(200, 256, (12, 12, 3), dtype=np.uint8)  # high values
+    patches = extract_dense_patches(jnp.asarray(img), 6, 2)
+    back = np.asarray(reconstruct_average(patches.astype(jnp.uint8), (12, 12), step=2))
+    np.testing.assert_allclose(back, img.astype(np.float32), atol=1e-3)

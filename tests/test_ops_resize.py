@@ -132,3 +132,17 @@ def test_batched_resize_matches_unbatched():
     for i in range(3):
         single = np.asarray(resize2d(jnp.asarray(imgs[i]), (40, 48), "tf1_bilinear"))
         np.testing.assert_allclose(batched[i], single, atol=1e-6)
+
+
+def test_resize2d_integer_input_promotes():
+    """Integer inputs promote to f32 instead of truncating the fractional
+    weights to 0/1 (review r3: uint8 input returned wrap-around noise)."""
+    import numpy as np
+
+    from image_enhance_keras_tpu.ops.resize import resize2d
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    out = np.asarray(resize2d(img, (16, 16)))
+    want = np.asarray(resize2d(img.astype(np.float32), (16, 16)))
+    np.testing.assert_allclose(out, want, atol=1e-5)

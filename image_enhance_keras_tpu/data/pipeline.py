@@ -283,17 +283,12 @@ def degrade_batch_on_device(hr_u8: jnp.ndarray, scale: int = 4, blur_sigma: floa
     sigma=0.5 on the uint8 image, then PIL-bicubic downsample with uint8
     per-pass clamping semantics, then /255.
     """
+    from image_enhance_keras_tpu.ops.resize import resize_pil_uint8
+
     x = hr_u8.astype(jnp.float32)
     if blur_sigma > 0:
         x = jnp.clip(jnp.round(gaussian_blur(x, blur_sigma)), 0.0, 255.0)
     h, w = int(x.shape[-3]), int(x.shape[-2])
-    oh, ow = h // scale, w // scale
-    ww = jnp.asarray(resize_weight_matrix(w, ow, "pil_bicubic"))
-    wh = jnp.asarray(resize_weight_matrix(h, oh, "pil_bicubic"))
-    from jax import lax
-
-    y = jnp.einsum("pw,...hwc->...hpc", ww, x, precision=lax.Precision.HIGHEST)
-    y = jnp.clip(jnp.round(y), 0.0, 255.0)
-    y = jnp.einsum("oh,...hpc->...opc", wh, y, precision=lax.Precision.HIGHEST)
-    y = jnp.clip(jnp.round(y), 0.0, 255.0)
-    return y / 255.0
+    # the resize (incl. PIL's per-pass rounding point) is owned by
+    # resize_pil_uint8 — a local copy drifted from its half-up rounding fix
+    return resize_pil_uint8(x, (h // scale, w // scale)) / 255.0

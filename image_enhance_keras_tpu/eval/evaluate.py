@@ -125,7 +125,7 @@ def evaluate_resolver_on_dir_divisible(
             continue
         gt = imread(path)
         h, w = gt.shape[:2]
-        if (h // scale) % 4 != 0 or (w // scale) % 4 != 0 or h % 2 or w % 2:
+        if h % unit or w % unit:  # reference coercion: dims must be 4*scale multiples
             h2, w2 = (h // unit) * unit, (w // unit) * unit
             if verbose:
                 print(

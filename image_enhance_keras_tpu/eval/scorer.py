@@ -42,11 +42,14 @@ class PairScore:
     gmsd_y: float | None = None
 
 
-@jax.jit
-def _score_kernel(gt_cropped, pred_cropped):
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("with_gmsd",))
+def _score_kernel(gt_cropped, pred_cropped, with_gmsd=False):
     gt_y = rgb2ycbcr(gt_cropped)[..., 0]
     pr_y = rgb2ycbcr(pred_cropped)[..., 0]
-    return (
+    out = (
         psnr_nitre(pr_y, gt_y, 0),
         ssim(pr_y, gt_y, data_range=255.0),
         ssim(
@@ -54,8 +57,10 @@ def _score_kernel(gt_cropped, pred_cropped):
             gt_cropped.astype(jnp.float32),
             data_range=255.0,
         ),
-        gmsd(pr_y, gt_y),
     )
+    # gmsd costs a pooling + four 3x3 gradient convs per pair: only trace
+    # it into the program when the caller asked for it
+    return out + ((gmsd(pr_y, gt_y),) if with_gmsd else ())
 
 
 def _crop_border(img: np.ndarray, border: int) -> np.ndarray:
@@ -90,10 +95,11 @@ def score_pair(
         gt, pred = gt[:h, :w], pred[:h, :w]
     gt_c = _crop_border(gt, crop_border)
     pr_c = _crop_border(pred, crop_border)
-    p, sy, srgb, g = _score_kernel(jnp.asarray(gt_c), jnp.asarray(pr_c))
+    vals = _score_kernel(jnp.asarray(gt_c), jnp.asarray(pr_c),
+                         with_gmsd=with_gmsd)
     return PairScore(
-        name, float(p), float(sy), float(srgb),
-        gmsd_y=float(g) if with_gmsd else None,
+        name, float(vals[0]), float(vals[1]), float(vals[2]),
+        gmsd_y=float(vals[3]) if with_gmsd else None,
     )
 
 

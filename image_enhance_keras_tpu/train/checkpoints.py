@@ -124,8 +124,10 @@ class CheckpointManager:
         val = float(metrics.get(self.monitor, float("nan")))
         save_params(os.path.join(self.root, "latest"), state)
         self.index["epochs"].append({"epoch": epoch, **metrics})
-        is_best = self._better(val, self.index.get("best_metric"))
-        if is_best and val == val:  # not NaN
+        # NaN is never "best": _better(nan, None) is True but reporting it
+        # would export NaN weights as best_ema.npz while skipping best/
+        is_best = val == val and self._better(val, self.index.get("best_metric"))
+        if is_best:
             save_params(os.path.join(self.root, "best"), state)
             self.index["best_metric"] = val
             self.index["best_epoch"] = epoch

@@ -47,9 +47,6 @@ class TrainState:
     #: checkpoints (which have no ema leaves) keep working unchanged.
     ema: Any = None
 
-    def tree_flatten(self):  # pragma: no cover - registered below
-        return (self.params, self.opt_state, self.step, self.ema), None
-
 
 jax.tree_util.register_pytree_node(
     TrainState,
@@ -269,7 +266,7 @@ class Trainer:
         # to a multiple of the scale so LR*scale == GT
         monitor = cfg.monitor
         self._image_metric_step = None
-        self._image_metric_jits: dict[tuple[int, int], Any] = {}
+        self._image_metric_fn = None  # jit caches per input shape itself
         self.metric_images: list[np.ndarray] = []
         if monitor in ("val_ssim_y", "val_psnr_y") or cfg.image_eval:
             self._image_metric_step = make_image_metric_step(
@@ -286,7 +283,9 @@ class Trainer:
                     "falling back to val_psnr", monitor,
                 )
                 monitor = "val_psnr"
-        self.ckpt = CheckpointManager(cfg.checkpoint_dir, monitor=monitor, mode="max")
+        # loss-like monitors minimise; everything else (psnr/ssim) maximises
+        mode = "min" if monitor.endswith("loss") else "max"
+        self.ckpt = CheckpointManager(cfg.checkpoint_dir, monitor=monitor, mode=mode)
         self.history = HistoryLogger(f"{cfg.checkpoint_dir}/history.json")
 
     def _eval_params(self):
@@ -313,14 +312,12 @@ class Trainer:
     def _image_metrics(self) -> dict[str, float]:
         if self._image_metric_step is None or not self.metric_images:
             return {}
-        vals = []
-        for im in self.metric_images:
-            key = im.shape[:2]
-            fn = self._image_metric_jits.get(key)
-            if fn is None:
-                fn = jax.jit(self._image_metric_step)
-                self._image_metric_jits[key] = fn
-            vals.append(fn(self._eval_params(), jnp.asarray(im)))
+        if self._image_metric_fn is None:
+            self._image_metric_fn = jax.jit(self._image_metric_step)
+        vals = [
+            self._image_metric_fn(self._eval_params(), jnp.asarray(im))
+            for im in self.metric_images
+        ]
         return {
             k: float(np.mean([float(v[k]) for v in vals])) for k in vals[0]
         }
@@ -343,7 +340,23 @@ class Trainer:
         cfg = self.config
         epochs = epochs or cfg.epochs
         steps_per_epoch = steps_per_epoch or cfg.steps_per_epoch
-        for epoch in range(1, epochs + 1):
+        if cfg.lr_schedule == "cosine" and epochs * steps_per_epoch != max(
+            cfg.epochs * cfg.steps_per_epoch, 1
+        ):
+            log.warning(
+                "cosine schedule was built for %d total steps but fit() will "
+                "run %d — later steps train at the decayed floor (rebuild the "
+                "Trainer with matching epochs/steps_per_epoch to re-span it)",
+                max(cfg.epochs * cfg.steps_per_epoch, 1), epochs * steps_per_epoch,
+            )
+        # a resumed state continues the epoch numbering (resume() restored
+        # step): restarting at 1 would duplicate history/index epoch labels
+        start_epoch = int(self.state.step) // max(steps_per_epoch, 1)
+        if start_epoch >= epochs:
+            log.info("resume: %d epochs already trained (budget %d) — nothing to do",
+                     start_epoch, epochs)
+            return self.history.as_dict()
+        for epoch in range(start_epoch + 1, epochs + 1):
             t0 = time.time()
             losses, psnrs = [], []
             for _ in range(steps_per_epoch):

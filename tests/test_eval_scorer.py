@@ -106,3 +106,23 @@ def test_divisible_eval_driver(tmp_path):
     calls.clear()
     evaluate_model(r, str(gt_dir), verbose=False)
     assert calls == []
+
+
+def test_divisible_eval_coerces_mod_scale_sizes(tmp_path, monkeypatch):
+    """Sizes like 34 at scale 4 must coerce (review r3: (34//4)%4==0 slipped
+    through and the driver crashed on shape mismatch)."""
+    from image_enhance_keras_tpu.data.io import imwrite
+    from image_enhance_keras_tpu.eval.evaluate import (
+        evaluate_resolver_on_dir_divisible,
+    )
+    from tests.test_engine_e2e import _tiny_pre_upscaled_resolver
+
+    rng = np.random.default_rng(7)
+    imwrite(str(tmp_path / "odd.png"),
+            rng.integers(0, 256, (34, 34, 3), dtype=np.uint8))
+    r = _tiny_pre_upscaled_resolver()
+    r.mode = "fast"
+    scores, means = evaluate_resolver_on_dir_divisible(
+        r, str(tmp_path), scale=4, verbose=False
+    )
+    assert len(scores) == 1  # coerced to 32x32, no crash

@@ -412,3 +412,73 @@ def test_export_params_npz_fp16_roundtrip(tmp_path):
     assert back["a"]["kernel"].dtype == np.float32
     np.testing.assert_allclose(back["a"]["kernel"], params["a"]["kernel"],
                                atol=5e-4)
+
+
+def test_checkpoint_monitor_val_loss_minimises(tmp_path):
+    """monitor='val_loss' must promote the LOWEST loss (review r3: the
+    trainer hard-coded mode='max', serving the most-diverged epoch)."""
+    from image_enhance_keras_tpu.train.checkpoints import CheckpointManager
+
+    m = CheckpointManager(str(tmp_path / "ck"), monitor="val_loss", mode="min")
+    state = {"w": np.zeros((2,), np.float32)}
+    assert m.save_epoch(state, 1, {"val_loss": 0.5})
+    assert not m.save_epoch(state, 2, {"val_loss": 0.9})  # worse
+    assert m.save_epoch(state, 3, {"val_loss": 0.1})
+    assert m.index["best_epoch"] == 3
+
+    # the Trainer wires mode from the monitor name
+    import inspect
+
+    from image_enhance_keras_tpu.train import trainer as trainer_mod
+
+    src = inspect.getsource(trainer_mod)
+    assert 'mode = "min" if monitor.endswith("loss") else "max"' in src
+
+
+def test_checkpoint_nan_never_best(tmp_path):
+    """A NaN monitor value must not be reported as best (review r3: diverged
+    runs exported NaN weights as best_ema.npz every epoch)."""
+    from image_enhance_keras_tpu.train.checkpoints import CheckpointManager
+
+    m = CheckpointManager(str(tmp_path / "ck"), monitor="val_psnr", mode="max")
+    state = {"w": np.zeros((2,), np.float32)}
+    assert not m.save_epoch(state, 1, {"val_psnr": float("nan")})
+    assert m.index["best_metric"] is None
+    assert m.save_epoch(state, 2, {"val_psnr": 30.0})
+
+
+def test_resume_continues_epoch_numbering(tmp_path):
+    """resume() + fit() continues the epoch labels instead of re-running
+    epoch 1.. (review r3: history/index got duplicate epoch rows)."""
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+    from image_enhance_keras_tpu.train import trainer as trainer_mod
+    from image_enhance_keras_tpu.train.trainer import Trainer
+    from image_enhance_keras_tpu.utils.config import Config
+
+    tiny = DifvdsrDouble(features=8, n_body53=1, n_light=1, n_tail53=0)
+    spec = ModelSpec("didbl", lambda **k: tiny, 4, False, "tiny", "w")
+    import unittest.mock as mock
+
+    imgs = [np.random.default_rng(0).integers(0, 256, (64, 64, 3), dtype=np.uint8)]
+    cfg = Config(model="didbl", epochs=2, steps_per_epoch=2, batch_size=2,
+                 lr_patch=16, checkpoint_dir=str(tmp_path / "ck"),
+                 monitor="val_psnr")
+    with mock.patch.object(trainer_mod, "get_model",
+                           lambda name, dtype=None: (tiny, spec)):
+        t = Trainer(cfg, train_images=imgs, val_images=imgs)
+        t.fit()
+        epochs1 = [e["epoch"] for e in t.ckpt.index["epochs"]]
+        assert epochs1 == [1, 2]
+
+        t2 = Trainer(cfg, train_images=imgs, val_images=imgs)
+        assert t2.resume()
+        t2.fit()  # budget already trained: must be a no-op
+        epochs2 = [e["epoch"] for e in t2.ckpt.index["epochs"]]
+        assert epochs2 == [1, 2]  # no duplicate labels
+
+        t3 = Trainer(cfg, train_images=imgs, val_images=imgs)
+        assert t3.resume()
+        t3.fit(epochs=3)  # one MORE epoch: labeled 3
+        epochs3 = [e["epoch"] for e in t3.ckpt.index["epochs"]]
+        assert epochs3 == [1, 2, 3]

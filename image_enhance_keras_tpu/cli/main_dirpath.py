@@ -153,6 +153,12 @@ def _run(args) -> int:
     if args.pipeline:
         from image_enhance_keras_tpu.runtime.serving import serve_directory
 
+        if args.save_intermediate:
+            log.warning(
+                "--save_intermediate is not supported by the overlapped "
+                "--pipeline path; no intermediate images will be written"
+            )
+
         stats = serve_directory(
             resolver, args.imgpath, suffix=args.suffix, scale_label=args.scale
         )

@@ -30,7 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "instead of erroring")
     p.add_argument("--generate", action="store_true",
                    help="degrade+reconstruct with --model instead of reading saved outputs")
-    p.add_argument("--model", default="didbl")
+    from image_enhance_keras_tpu.models import MODEL_REGISTRY
+
+    p.add_argument("--model", default="didbl", choices=sorted(MODEL_REGISTRY))
     p.add_argument("--weights", default=None)
     p.add_argument("--scale-factor", default=4, type=int)
     p.add_argument("--self-ensemble", action="store_true",
@@ -60,7 +62,8 @@ def main(argv=None) -> int:
             dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
         )
         scores, means = evaluate_model(
-            resolver, args.path_dir, scale=args.scale_factor, crop_border=args.crop
+            resolver, args.path_dir, scale=args.scale_factor,
+            crop_border=args.crop, with_gmsd=args.gmsd,
         )
     else:
         from image_enhance_keras_tpu.eval import score_directory

@@ -99,7 +99,12 @@ def rebuild_from_patches_Step(img_initial, patches, patch_size, tupleinit, scale
 
 
 def make_patches(x, scale, patch_size, upscale=True, verbose=1):
-    """Dense sliding-window patches (reference img_utils.py:159-170)."""
+    """Dense sliding-window patches (reference img_utils.py:159-172).
+
+    ``scale`` and ``upscale`` are accepted but inert — the reference's
+    pre-upscale is COMMENTED OUT in the committed code (img_utils.py:169-170
+    are comments; only the dense extraction runs), and models.py callers
+    rely on that."""
     from image_enhance_keras_tpu.tiling.dense import extract_dense_patches
 
     return np.asarray(
@@ -280,6 +285,21 @@ def subimage_combine_patches_global(imgtrue, patches, stride, patch_size, scale)
         imresize_bicubic(imgtrue, (ht * scale, wt * scale)), np.float64
     )
     h, w = img.shape[:2]
+    n_pos = sum(
+        1
+        for y in range(0, w, stride)
+        for x in range(0, h, stride)
+        if (x + patch_size) < w and (y + patch_size) < h
+    )
+    if n_pos > len(patches):
+        # the reference would IndexError here (img_utils.py:268-287 iterates
+        # the SCALED canvas with the unscaled grid): patches must come from
+        # an image of the scaled size — say so instead of crashing opaquely
+        raise ValueError(
+            f"subimage_combine_patches_global: the x{scale} canvas grid has "
+            f"{n_pos} positions but only {len(patches)} patches were given "
+            f"(build the patches from the scaled image)"
+        )
     j = 0
     for y in range(0, w, stride):
         for x in range(0, h, stride):
@@ -389,7 +409,9 @@ class DifvdsrDouble:
     #: reference fails loudly on a missing checkpoint (hard-coded
     #: load_weights, models.py:1217-1218) — so do we: silently serving
     #: random-init weights is never acceptable (VERDICT r2 weak 1).
-    WEIGHT_CANDIDATES = ("weights_Double/best", "weights_Double/didbl_set5demo.npz")
+    #: the demo-artifact entry mirrors MODEL_REGISTRY["didbl"].default_weights
+    #: (resolved via the registry below so the two policies cannot drift)
+    WEIGHT_CANDIDATES = ("weights_Double/best",)
 
     def __init__(self, scale_factor: int = 1):
         self.scale_factor = scale_factor
@@ -423,6 +445,14 @@ class DifvdsrDouble:
                 )
                 continue
             return cand
+        # the committed demo artifact: resolved through the zoo registry so
+        # this policy and the CLIs' resolve_cli_weights cannot drift
+        from image_enhance_keras_tpu.models import MODEL_REGISTRY
+        from image_enhance_keras_tpu.models.zoo import resolve_default_weights
+
+        default = resolve_default_weights(MODEL_REGISTRY["didbl"])
+        if default is not None:
+            return default
         return cls.WEIGHT_CANDIDATES[0]  # reported in the error message
 
     def create_model(self, height=32, width=32, channels=3, load_weights=False, batch_size=128):
@@ -577,12 +607,45 @@ class DifvdsrDouble:
             return out
         return self._write_named(img_path, out, suffix)
 
-    def fit(self, batch_size=10, nb_epochs=100, save_history=False, history_fn="ScaleGen History.txt"):
+    def fit(self, batch_size=10, nb_epochs=100, save_history=False,
+            history_fn="ScaleGen History.txt"):
+        """Reference fit contract (models.py:131-157): train from the
+        materialised patch dirs transform_images wrote
+        (train_images/train + train_images/validation; y/ = HR patches).
+        The TPU trainer consumes the HR patches and regenerates the LR
+        side with the SAME blur+bicubic degradation inside the jitted
+        step (data/pipeline.py) instead of reading the X/ dir.
+        ``save_history`` writes the HistoryCheckpoint text format
+        (advanced.py:22-27: str(dict), readable via ast.literal_eval)."""
+        from image_enhance_keras_tpu.data.pipeline import load_image_dir
         from image_enhance_keras_tpu.train.trainer import Trainer
         from image_enhance_keras_tpu.utils.config import Config
+        from image_enhance_keras_tpu.utils.paths import find_repo_asset
 
-        trainer = Trainer(Config(model="didbl", batch_size=batch_size, epochs=nb_epochs))
-        return trainer.fit()
+        train_dir = find_repo_asset("train_images/train/y")
+        val_dir = find_repo_asset("train_images/validation/y")
+        train = load_image_dir(train_dir) if train_dir else []
+        val = load_image_dir(val_dir) if val_dir else []
+        if not train:
+            raise FileNotFoundError(
+                "fit(): no training patches under train_images/train/y — "
+                "run transform_images(...) or cli.prepare_data first (the "
+                "reference's fit consumes the materialised patch dirs, "
+                "models.py:131-157); silently training on synthetic smoke "
+                "data is not acceptable here"
+            )
+        hr = min(min(im.shape[:2]) for im in train)
+        cfg = Config(
+            model="didbl", batch_size=batch_size, epochs=nb_epochs,
+            lr_patch=max(1, hr // 4), checkpoint_dir="weights_Double",
+        )
+        trainer = Trainer(cfg, train_images=train,
+                          val_images=val or train[:2])
+        hist = trainer.fit()
+        if save_history:
+            with open(history_fn, "w") as f:
+                f.write(str(hist))
+        return hist
 
     def evaluate(self, val_dir="val_images/set5nitre"):
         # reference dispatch models.py:159-163 (divisible-shape driver for

@@ -56,6 +56,7 @@ def evaluate_resolver_on_dir(
     save_dir: str | None = None,
     suffix_filter: str = "scaled",
     verbose: bool = True,
+    with_gmsd: bool = False,
 ) -> tuple[list[PairScore], dict[str, float]]:
     """Degrade -> super-resolve -> score every ground-truth image in a dir."""
     scores = []
@@ -69,10 +70,12 @@ def evaluate_resolver_on_dir(
         gt = gt[:h, :w]
         lr = degrade(gt, scale)
         sr = resolver.upscale(lr)
-        s = score_pair(gt, sr, name=os.path.basename(path), crop_border=crop_border)
+        s = score_pair(gt, sr, name=os.path.basename(path),
+                       crop_border=crop_border, with_gmsd=with_gmsd)
         scores.append(s)
         if verbose:
-            print(f"{s.name}: PSNR-Y {s.psnr_y:.4f}  SSIM-Y {s.ssim_y:.4f}  SSIM-RGB {s.ssim_rgb:.4f}")
+            extra = f"  GMSD-Y {s.gmsd_y:.4f}" if s.gmsd_y is not None else ""
+            print(f"{s.name}: PSNR-Y {s.psnr_y:.4f}  SSIM-Y {s.ssim_y:.4f}  SSIM-RGB {s.ssim_rgb:.4f}{extra}")
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
             stem, ext = os.path.splitext(os.path.basename(path))
@@ -84,6 +87,8 @@ def evaluate_resolver_on_dir(
             "ssim_y": float(np.mean([s.ssim_y for s in scores])),
             "ssim_rgb": float(np.mean([s.ssim_rgb for s in scores])),
         }
+        if with_gmsd:
+            means["gmsd_y"] = float(np.mean([s.gmsd_y for s in scores]))
         if verbose:
             print(
                 f"MEAN over {len(scores)}: PSNR-Y {means['psnr_y']:.4f}  "
@@ -101,6 +106,7 @@ def evaluate_resolver_on_dir_divisible(
     suffix_filter: str = "scaled",
     verbose: bool = True,
     model_name: str = "model",
+    with_gmsd: bool = False,
 ) -> tuple[list[PairScore], dict[str, float]]:
     """The reference's distinct ``_evaluate_denoise`` driver
     (models.py:1625-1721), for models flagged ``requires_divisible_shape``
@@ -145,10 +151,12 @@ def evaluate_resolver_on_dir_divisible(
                 if hasattr(resolver, "upscale_frame")
                 else resolver.upscale(lr)
             )
-        s = score_pair(gt, sr, name=os.path.basename(path), crop_border=crop_border)
+        s = score_pair(gt, sr, name=os.path.basename(path),
+                       crop_border=crop_border, with_gmsd=with_gmsd)
         scores.append(s)
         if verbose:
-            print(f"{s.name}: PSNR-Y {s.psnr_y:.4f}  SSIM-Y {s.ssim_y:.4f}  SSIM-RGB {s.ssim_rgb:.4f}")
+            extra = f"  GMSD-Y {s.gmsd_y:.4f}" if s.gmsd_y is not None else ""
+            print(f"{s.name}: PSNR-Y {s.psnr_y:.4f}  SSIM-Y {s.ssim_y:.4f}  SSIM-RGB {s.ssim_rgb:.4f}{extra}")
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
             stem = os.path.splitext(os.path.basename(path))[0]
@@ -160,6 +168,8 @@ def evaluate_resolver_on_dir_divisible(
             "ssim_y": float(np.mean([s.ssim_y for s in scores])),
             "ssim_rgb": float(np.mean([s.ssim_rgb for s in scores])),
         }
+        if with_gmsd:
+            means["gmsd_y"] = float(np.mean([s.gmsd_y for s in scores]))
         if verbose:
             print(
                 f"MEAN over {len(scores)}: PSNR-Y {means['psnr_y']:.4f}  "

@@ -241,3 +241,19 @@ def test_scorpath_and_export_never_silent_random_init(tmp_path, tiny_zoo, monkey
     with pytest.raises(SystemExit, match="no committed demo checkpoint"):
         export_main([str(tmp_path / "x.iekx"), "--model", "noart",
                      "--hw", "16", "16"])
+
+
+def test_scorpath_generate_gmsd(tmp_path, tiny_zoo):
+    """--gmsd is honored in --generate mode (review r3: it was silently
+    dropped there)."""
+    from image_enhance_keras_tpu.cli.scorpath import main
+
+    rng = np.random.default_rng(11)
+    imwrite(str(tmp_path / "g.png"),
+            rng.integers(0, 256, (48, 48, 3), dtype=np.uint8))
+    js = str(tmp_path / "m.json")
+    rc = main([str(tmp_path), "--generate", "--weights", "none",
+               "--gmsd", "--json", js])
+    assert rc == 0
+    means = json.load(open(js))
+    assert "gmsd_y" in means and 0.0 <= means["gmsd_y"] <= 1.0

@@ -99,13 +99,16 @@ def test_missing_checkpoint_raises(tmp_path, monkeypatch):
     is forbidden (VERDICT r2 weak 1)."""
     import pytest
 
+    from image_enhance_keras_tpu.models import zoo
+
     monkeypatch.chdir(tmp_path)
     # resolution is CWD-independent now, so simulate a clone with no
-    # loadable artifact by pointing the candidate list at nothing
+    # loadable artifact: empty the candidate list AND the registry default
     monkeypatch.setattr(
         compat.DifvdsrDouble, "WEIGHT_CANDIDATES",
         ("weights_Double/nonexistent_a", "weights_Double/nonexistent_b"),
     )
+    monkeypatch.setattr(zoo, "resolve_default_weights", lambda spec: None)
     m = compat.DifvdsrDouble(scale_factor=1)
     with pytest.raises(FileNotFoundError, match="random-init"):
         m.upscaleStepPatch("whatever.png")
@@ -361,3 +364,63 @@ def test_legacy_upscale_save_intermediate(tmp_path, monkeypatch):
               return_image=True)
     inter2 = imread(str(tmp_path / "img_intermediate_.png"))
     np.testing.assert_array_equal(inter2, imread(str(src)))  # prepared frame
+
+
+def test_fit_requires_reference_dataset(tmp_path, monkeypatch):
+    """compat fit() trains from the reference's materialised patch dirs and
+    fails loudly when they don't exist — never a silent synthetic-smoke run
+    (review r3)."""
+    monkeypatch.chdir(tmp_path)
+    import unittest.mock as mock
+
+    from image_enhance_keras_tpu.utils import paths as paths_mod
+
+    m = compat.DifvdsrDouble(scale_factor=1)
+    with mock.patch.object(paths_mod, "find_repo_asset", lambda rel: None):
+        with pytest.raises(FileNotFoundError, match="train_images/train/y"):
+            m.fit(nb_epochs=1)
+
+
+def test_fit_trains_on_materialised_patches(tmp_path, monkeypatch):
+    """End-to-end reference workflow: transform_images -> fit() consumes the
+    y/ HR patches and writes weights_Double checkpoints + the
+    HistoryCheckpoint text file (advanced.py:22-27 format)."""
+    import ast
+    import os
+
+    import numpy as np
+
+    from image_enhance_keras_tpu.data.io import imwrite
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble as Net
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+    from image_enhance_keras_tpu.train import trainer as trainer_mod
+    import unittest.mock as mock
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(8)
+    src = tmp_path / "src"
+    src.mkdir()
+    imwrite(str(src / "a.png"), rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+    compat.transform_images(str(src), str(tmp_path / "train_images" / "train"))
+    compat.transform_images(str(src), str(tmp_path / "train_images" / "validation"))
+
+    tiny = Net(features=8, n_body53=1, n_light=1, n_tail53=0)
+    spec = ModelSpec("didbl", lambda **k: tiny, 4, False, "tiny", "w")
+    with mock.patch.object(trainer_mod, "get_model",
+                           lambda name, dtype=None: (tiny, spec)):
+        m = compat.DifvdsrDouble(scale_factor=1)
+        hist = m.fit(batch_size=2, nb_epochs=1, save_history=True,
+                     history_fn=str(tmp_path / "hist.txt"))
+    assert os.path.isdir(tmp_path / "weights_Double")
+    parsed = ast.literal_eval(open(tmp_path / "hist.txt").read())
+    assert "epoch" in parsed and parsed["epoch"] == [1]
+
+
+def test_subimage_combine_scale_mismatch_is_loud():
+    """scale>1 with patches built from the unscaled image errors with a
+    clear message (the reference IndexErrors; review r3)."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    patches = compat.subimage_build_patch_global(img, 8, 16)
+    with pytest.raises(ValueError, match="scaled image"):
+        compat.subimage_combine_patches_global(img, patches, 8, 16, 2)

@@ -78,7 +78,8 @@ def imread(path: str) -> np.ndarray | None:
     out = u8p()
     h = ctypes.c_int()
     w = ctypes.c_int()
-    rc = lib.iek_imread(path.encode(), ctypes.byref(out), ctypes.byref(h), ctypes.byref(w))
+    rc = lib.iek_imread(os.fsencode(path), ctypes.byref(out), ctypes.byref(h),
+                        ctypes.byref(w))
     if rc != 0:
         return None
     return _take(lib, out, h.value, w.value)
@@ -88,11 +89,15 @@ def imwrite(path: str, arr: np.ndarray) -> bool:
     lib = _lib()
     if lib is None:
         return False
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    arr = np.asarray(arr)
     if arr.ndim != 3 or arr.shape[2] != 3:
         return False
+    if arr.dtype != np.uint8:
+        # mirror data/io.py: clip+round, never a wrap-around cast
+        arr = np.clip(np.round(arr.astype(np.float32)), 0, 255)
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
     ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-    return lib.iek_imwrite(path.encode(), ptr, arr.shape[0], arr.shape[1]) == 0
+    return lib.iek_imwrite(os.fsencode(path), ptr, arr.shape[0], arr.shape[1]) == 0
 
 
 def imread_batch(paths: list[str], threads: int = 8) -> list[np.ndarray | None]:
@@ -104,7 +109,7 @@ def imread_batch(paths: list[str], threads: int = 8) -> list[np.ndarray | None]:
     if n == 0:
         return []
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_paths = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
     outs = (u8p * n)()
     hs = (ctypes.c_int * n)()
     ws = (ctypes.c_int * n)()
@@ -125,9 +130,16 @@ def gather_patches(img: np.ndarray, ys: np.ndarray, xs: np.ndarray, p: int) -> n
     Corners must lie in [0, H-p] x [0, W-p]; out-of-range corners raise
     (the C side also clamps defensively, so stale binaries can't overread).
     """
+    img = np.asarray(img)
+    if img.ndim != 3 or img.shape[2] != 3:
+        # the C side assumes a W*3 row stride: grayscale would overread 3x,
+        # RGBA would silently return wrong pixels
+        raise ValueError(f"gather_patches needs (H, W, 3) uint8, got {img.shape}")
     h, w = img.shape[:2]
     ys = np.asarray(ys, np.int64)
     xs = np.asarray(xs, np.int64)
+    if len(ys) != len(xs):
+        raise ValueError(f"len(ys)={len(ys)} != len(xs)={len(xs)}")
     if p <= 0 or p > h or p > w:
         raise ValueError(f"patch {p} does not fit a {h}x{w} image")
     if len(ys) and (

@@ -45,7 +45,7 @@ static int bmp_decode(const uint8_t *buf, size_t len, uint8_t **out, int *h,
   int32_t ih = rds32(buf + 22);
   uint16_t bpp = rd16(buf + 28);
   uint32_t comp = rd32(buf + 30);
-  if (comp != 0 || (bpp != 24 && bpp != 32) || iw <= 0) return -3;
+  if (comp != 0 || (bpp != 24 && bpp != 32) || iw <= 0 || ih == 0) return -3;
   int flip = ih > 0;
   if (ih < 0) ih = -ih;
   int nb = bpp / 8;
@@ -201,9 +201,36 @@ static int png_encode_file(FILE *f, const uint8_t *rgb, int h, int w) {
 // PPM (P6)
 // ---------------------------------------------------------------------------
 
+// netpbm header int: skips whitespace AND '#' comment lines (spec-valid
+// files written by GIMP et al. carry them); returns -1 on parse failure.
+static int ppm_int(FILE *f, int *val) {
+  int c;
+  for (;;) {
+    c = fgetc(f);
+    if (c == '#') {
+      while (c != '\n' && c != EOF) c = fgetc(f);
+    } else if (c != ' ' && c != '\t' && c != '\n' && c != '\r') {
+      break;
+    }
+  }
+  if (c < '0' || c > '9') return -1;
+  int v = 0;
+  while (c >= '0' && c <= '9') {
+    v = v * 10 + (c - '0');
+    if (v > (1 << 30)) return -1;
+    c = fgetc(f);
+  }
+  if (c != EOF) ungetc(c, f);
+  *val = v;
+  return 0;
+}
+
 static int ppm_decode(FILE *f, uint8_t **out, int *h, int *w) {
   int iw, ih, maxv;
-  if (fscanf(f, "P6 %d %d %d", &iw, &ih, &maxv) != 3 || maxv != 255) return -1;
+  char m0 = fgetc(f), m1 = fgetc(f);
+  if (m0 != 'P' || m1 != '6') return -1;
+  if (ppm_int(f, &iw) || ppm_int(f, &ih) || ppm_int(f, &maxv) || maxv != 255)
+    return -1;
   // reject non-positive or absurd dims (bogus malloc size otherwise)
   if (iw <= 0 || ih <= 0 || (int64_t)iw * ih > (int64_t)1 << 32) return -1;
   fgetc(f);  // single whitespace
@@ -221,7 +248,7 @@ static int ppm_decode(FILE *f, uint8_t **out, int *h, int *w) {
 }
 
 static int ppm_encode(FILE *f, const uint8_t *rgb, int h, int w) {
-  fprintf(f, "P6\n%d %d\n255\n", w, h);
+  if (fprintf(f, "P6\n%d %d\n255\n", w, h) < 0) return -1;
   size_t n = (size_t)w * h * 3;
   return fwrite(rgb, 1, n, f) == n ? 0 : -1;
 }
@@ -267,18 +294,21 @@ int iek_imread(const char *path, uint8_t **out, int *h, int *w) {
 }
 
 int iek_imwrite(const char *path, const uint8_t *rgb, int h, int w) {
+  // dispatch BEFORE opening: fopen("wb") truncates, so an unsupported
+  // suffix must not destroy a pre-existing file at the path
+  int kind = has_suffix(path, ".png")   ? 0
+             : has_suffix(path, ".bmp") ? 1
+             : has_suffix(path, ".ppm") ? 2
+                                        : -1;
+  if (kind < 0) return -50;
   FILE *f = fopen(path, "wb");
   if (!f) return -1;
-  int rc;
-  if (has_suffix(path, ".png"))
-    rc = png_encode_file(f, rgb, h, w);
-  else if (has_suffix(path, ".bmp"))
-    rc = bmp_encode(f, rgb, h, w);
-  else if (has_suffix(path, ".ppm"))
-    rc = ppm_encode(f, rgb, h, w);
-  else
-    rc = -50;
-  fclose(f);
+  int rc = kind == 0   ? png_encode_file(f, rgb, h, w)
+           : kind == 1 ? bmp_encode(f, rgb, h, w)
+                       : ppm_encode(f, rgb, h, w);
+  // fclose flushes the stdio buffer: a disk-full failure surfaces HERE,
+  // not in the buffered writes — success must include the flush
+  if (fclose(f) != 0 && rc == 0) rc = -60;
   return rc;
 }
 
@@ -318,9 +348,13 @@ int iek_imread_batch(const char *const *paths, int n, int threads,
   batch_job job = {paths, outs, hs, ws, rcs, n, 0, PTHREAD_MUTEX_INITIALIZER};
   pthread_t tids[64];
   if (threads > 64) threads = 64;
-  for (int t = 0; t < threads; t++)
-    pthread_create(&tids[t], nullptr, batch_worker, &job);
-  for (int t = 0; t < threads; t++) pthread_join(tids[t], nullptr);
+  int created = 0;
+  for (int t = 0; t < threads; t++) {
+    if (pthread_create(&tids[created], nullptr, batch_worker, &job) == 0)
+      created++;  // EAGAIN under thread exhaustion: run with fewer workers
+  }
+  if (created == 0) batch_worker(&job);  // inline fallback, never silent
+  for (int t = 0; t < created; t++) pthread_join(tids[t], nullptr);
   int bad = 0;
   for (int i = 0; i < n; i++)
     if (rcs[i] != 0) bad++;

@@ -111,3 +111,49 @@ def test_gather_patches_empty_corner_list():
     img = np.zeros((16, 16, 3), np.uint8)
     out = gather_patches(img, [], [], 8)
     assert out.shape == (0, 8, 8, 3) and out.dtype == np.uint8
+
+
+def test_native_io_hardening():
+    """r3 codec review fixes: PPM headers with comments decode; unsupported
+    imwrite suffixes never truncate an existing file; float input is
+    clip+rounded; shape/length validation is loud."""
+    import numpy as np
+    import pytest
+
+    from image_enhance_keras_tpu.runtime import native_io
+
+    if not native_io.available():
+        pytest.skip("native library not built")
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="iek_native_")
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+
+    # PPM with a comment line in the header (GIMP-style)
+    ppm = os.path.join(d, "c.ppm")
+    with open(ppm, "wb") as f:
+        f.write(b"P6\n# created by GIMP\n7 6\n255\n" + img.tobytes())
+    back = native_io.imread(ppm)
+    np.testing.assert_array_equal(back, img)
+
+    # unsupported suffix: existing file survives
+    keep = os.path.join(d, "keep.tif")
+    with open(keep, "wb") as f:
+        f.write(b"precious")
+    assert native_io.imwrite(keep, img) is False
+    assert open(keep, "rb").read() == b"precious"
+
+    # float input: clip+round, not a wraparound cast
+    f32 = img.astype(np.float32)
+    f32[0, 0] = [300.2, -5.0, 128.6]
+    p = os.path.join(d, "f.png")
+    assert native_io.imwrite(p, f32)
+    out = native_io.imread(p)
+    assert tuple(out[0, 0]) == (255, 0, 129)
+
+    # validation: grayscale and mismatched corner lists raise
+    with pytest.raises(ValueError, match=r"\(H, W, 3\)"):
+        native_io.gather_patches(img[..., 0], [0], [0], 4)
+    with pytest.raises(ValueError, match="len"):
+        native_io.gather_patches(img, [0, 1], [0], 4)

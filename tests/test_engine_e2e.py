@@ -513,3 +513,41 @@ def test_patch_average_cache_keys_raw_size():
     assert out_a.shape == (33, 33, 3)
     out_b = r.upscale_patch_average(b, patch=32, step=16)
     assert out_b.shape == (48, 48, 3)  # stale reuse returned 33x33 garbage
+
+
+def test_serving_encode_backpressure(tmp_path, monkeypatch):
+    """Pending encode futures are bounded at 2x the encoder count (review
+    r3: a fast device + slow storage accumulated every x4 output in RAM)."""
+    import threading
+    import time as _time
+
+    from image_enhance_keras_tpu.runtime import serving
+
+    n_imgs = 12
+    for i in range(n_imgs):
+        imwrite(str(tmp_path / f"i{i}.png"),
+                np.random.default_rng(i).integers(0, 256, (16, 16, 3),
+                                                  dtype=np.uint8))
+    r = _tiny_resolver(mode="fast")
+
+    pending = {"now": 0, "max": 0}
+    lock = threading.Lock()
+    real_imwrite = serving.imwrite
+
+    def slow_imwrite(dst, arr):
+        with lock:
+            pending["now"] += 1
+            pending["max"] = max(pending["max"], pending["now"])
+        _time.sleep(0.05)  # slow storage
+        real_imwrite(dst, arr)
+        with lock:
+            pending["now"] -= 1
+
+    monkeypatch.setattr(serving, "imwrite", slow_imwrite)
+    stats = serving.serve_directory(r, str(tmp_path), encode_threads=2)
+    assert stats.images == n_imgs
+    # in-flight encodes never exceed the pool width; the deque bound (2x
+    # encoders) caps what can pile up beyond the running ones
+    assert pending["max"] <= 2 * 2
+    for i in range(n_imgs):
+        assert (tmp_path / f"i{i}_scaled(1x).png").exists()

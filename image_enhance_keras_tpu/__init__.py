@@ -17,7 +17,7 @@ Everything here is designed TPU-first:
     not per-process device pinning (reference: main_dirpath.py:3).
 """
 
-__version__ = "0.2.0"  # keep in sync with pyproject.toml
+__version__ = "0.3.0"  # keep in sync with pyproject.toml
 
 from image_enhance_keras_tpu import ops  # noqa: F401
 

@@ -84,12 +84,19 @@ class SuperResolver:
         split_tile: int = 64,
         split_tile_w: int | None = None,
         self_ensemble: bool = False,
+        module_and_spec: tuple | None = None,
     ):
         from image_enhance_keras_tpu.utils.jax_setup import setup_jax
 
         setup_jax()
         self.model_name = model
-        self.module, self.spec = get_model(model, dtype=dtype)
+        if module_and_spec is not None:
+            # inject an existing module (tiny test/dryrun configs) while
+            # keeping THIS constructor the single place engine invariants
+            # are established (hand-assembled __new__ resolvers drift)
+            self.module, self.spec = module_and_spec
+        else:
+            self.module, self.spec = get_model(model, dtype=dtype)
         self._dtype = dtype
         self.forward_mode = forward
         if forward.startswith("pallas") and not model.startswith("didbl"):

@@ -2,6 +2,7 @@
 protocol, over a directory of HR ground truths.
 
 Run:  python scripts/eval_full.py [gt_dir] [weights] [--fast]
+Env:  IEK_MODEL (didbl) selects the zoo family for the checkpoint.
 Defaults: data_set5, weights_Double/didbl_set5demo.npz, tiled parity mode.
 Writes EVAL_RESULTS.json next to the repo root.
 """
@@ -18,6 +19,7 @@ def main():
     fast = "--fast" in sys.argv
     gt_dir = args[0] if args else "data_set5"
     weights = args[1] if len(args) > 1 else "weights_Double/didbl_set5demo.npz"
+    model = os.environ.get("IEK_MODEL", "didbl")
 
     from image_enhance_keras_tpu.engine import SuperResolver
     from image_enhance_keras_tpu.eval import evaluate_resolver_on_dir
@@ -25,10 +27,12 @@ def main():
 
     print("=== bicubic baseline ===", flush=True)
     _, mb = evaluate_resolver_on_dir(BicubicResolver(4), gt_dir, scale=4)
-    print(f"=== didbl ({weights}) ===", flush=True)
-    r = SuperResolver(model="didbl", weights=weights, mode="fast" if fast else "patch")
+    print(f"=== {model} ({weights}) ===", flush=True)
+    r = SuperResolver(model=model, weights=weights,
+                      mode="fast" if fast else "patch")
     _, mm = evaluate_resolver_on_dir(r, gt_dir, scale=4)
-    out = {"bicubic": mb, "didbl": mm, "weights": weights, "mode": "fast" if fast else "patch"}
+    out = {"bicubic": mb, model: mm, "weights": weights,
+           "mode": "fast" if fast else "patch"}
     with open("EVAL_RESULTS.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))

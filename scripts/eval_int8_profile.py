@@ -55,8 +55,11 @@ def main() -> int:
         # images only (NEVER the eval images) — the default int8_calib_dir is
         # data_set5, which overlaps the gate's eval set; this row measures
         # the gate without that circularity (r3 review finding)
+        # a nonexistent calib dir triggers the engine's OWN procedural
+        # fallback (rich dead-leaves, seed 17) — the row measures exactly
+        # the shipped no-calib-dir behaviour, no duplicated corpus here
         "int8_fast_excal": (dict(dtype=jnp.bfloat16, forward="int8"),
-                            {"int8_calib_dir": "__procedural__"}),
+                            {"int8_calib_dir": "/nonexistent_iek_excal"}),
     }
     only = os.environ.get("IEK_PROFILES")
     if only:
@@ -65,44 +68,41 @@ def main() -> int:
     path = "EVAL_PROFILES.json"
     results = json.load(open(path)) if os.path.exists(path) else {}
     tag = "" if model == "didbl" else f"{model}_"
-    proc_dir = None
-    for name, (kw, opts) in profiles.items():
-        r = SuperResolver(model=model, weights=weights, mode="fast", **kw)
-        for k, v in opts.items():
-            if k == "int8_calib_dir" and v == "__procedural__":
-                if proc_dir is None:
-                    from image_enhance_keras_tpu.data.io import imwrite
-                    from image_enhance_keras_tpu.data.pipeline import (
-                        rich_synthetic_images,
-                    )
+    fresh: dict = {}  # rows measured THIS run (the gate must never mix
+    #                   fresh rows with stale ones from another checkpoint)
+    try:
+        for name, (kw, opts) in profiles.items():
+            try:
+                r = SuperResolver(model=model, weights=weights, mode="fast",
+                                  **kw)
+                for k, v in opts.items():
+                    setattr(r, k, v)
+                _, means = evaluate_resolver_on_dir(
+                    r, tmp, scale=4, verbose=False
+                )
+            except Exception as e:  # one broken profile must not lose
+                print(json.dumps({name: f"ERROR: {e}"}), flush=True)
+                continue  # the rows already measured on a long TPU run
+            fresh[name] = means
+            results[f"{tag}{name}_{len(picked)}img"] = means
+            print(json.dumps({name: means}), flush=True)
+            with open(path, "w") as f:  # persist incrementally
+                json.dump(results, f, indent=2)
 
-                    proc_dir = tempfile.mkdtemp(prefix="int8_excal_")
-                    for i, im in enumerate(
-                        rich_synthetic_images(8, 256, seed=17)
-                    ):
-                        imwrite(os.path.join(proc_dir, f"p{i}.png"), im)
-                v = proc_dir
-            setattr(r, k, v)
-        _, means = evaluate_resolver_on_dir(r, tmp, scale=4, verbose=False)
-        results[f"{tag}{name}_{len(picked)}img"] = means
-        print(json.dumps({name: means}), flush=True)
-    with open(path, "w") as f:
-        json.dump(results, f, indent=2)
-
-    k = f"{len(picked)}img"
-    bf, i8 = results.get(f"{tag}bf16_fast_{k}"), results.get(f"{tag}int8_fast_{k}")
-    if bf and i8:
-        d = bf["ssim_y"] - i8["ssim_y"]
-        print(json.dumps({"int8_ssim_y_delta_vs_bf16": round(d, 5),
-                          "gate": "PASS" if abs(d) <= 0.003 else "FAIL"}),
-              flush=True)
-    else:
-        # a filtered IEK_PROFILES run may not produce both gate rows
-        print(json.dumps({"gate": "SKIPPED (bf16_fast/int8_fast rows absent)"}),
-              flush=True)
-    shutil.rmtree(tmp, ignore_errors=True)
-    if proc_dir:
-        shutil.rmtree(proc_dir, ignore_errors=True)
+        bf, i8 = fresh.get("bf16_fast"), fresh.get("int8_fast")
+        if bf and i8:
+            d = bf["ssim_y"] - i8["ssim_y"]
+            print(json.dumps({"int8_ssim_y_delta_vs_bf16": round(d, 5),
+                              "gate": "PASS" if abs(d) <= 0.003 else "FAIL"}),
+                  flush=True)
+        else:
+            # a filtered IEK_PROFILES run may not produce both gate rows;
+            # never compute the gate across rows from different runs/weights
+            print(json.dumps(
+                {"gate": "SKIPPED (bf16_fast/int8_fast not both measured "
+                         "this run)"}), flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return 0
 
 

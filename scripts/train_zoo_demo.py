@@ -34,6 +34,7 @@ def main() -> int:
     n_eval = int(os.environ.get("IEK_ZOO_IMAGES", "2"))
     spe = 500
     epochs = max(1, steps // spe)
+    steps = epochs * spe  # the ACTUAL step budget (records must not lie)
 
     from image_enhance_keras_tpu.data.io import imread
     from image_enhance_keras_tpu.data.pipeline import synthetic_images
@@ -46,6 +47,24 @@ def main() -> int:
     train_imgs = gts + list(synthetic_images(16, 256))
 
     ckpt_dir = f"weights_demo_{model}"
+    # a previous run's index.json would gate best-promotion against the OLD
+    # run's metric (restore_best would then export stale weights under this
+    # run's provenance): fresh runs archive the checkpoint STATE aside
+    # (index/best/latest only — committed npz artifacts stay in place)
+    if not os.environ.get("IEK_ZOO_RESUME") and os.path.exists(
+        os.path.join(ckpt_dir, "index.json")
+    ):
+        import shutil as _sh
+
+        prev = ckpt_dir + ".prev"
+        _sh.rmtree(prev, ignore_errors=True)
+        os.makedirs(prev)
+        for item in ("index.json", "best", "latest", "history.json",
+                     "latest_ema.npz", "best_ema.npz"):
+            src = os.path.join(ckpt_dir, item)
+            if os.path.exists(src):
+                os.rename(src, os.path.join(prev, item))
+        print(f"archived previous checkpoint state -> {prev}", flush=True)
     cfg = Config(
         model=model,
         batch_size=16,
@@ -67,10 +86,7 @@ def main() -> int:
     print(f"trained {model} {steps} steps in {time.time() - t0:.0f}s", flush=True)
 
     # export the npz distribution artifact next to the orbax dirs
-    from image_enhance_keras_tpu.train.checkpoints import (
-        export_params_npz,
-        restore_params,
-    )
+    from image_enhance_keras_tpu.train.checkpoints import export_params_npz
 
     best = trainer.ckpt.restore_best(like=trainer.state)
     params = best.params if best is not None else trainer.state.params
@@ -87,12 +103,19 @@ def main() -> int:
     for n in SET5[:n_eval] if n_eval != 2 else ["bird", "butterfly"]:
         shutil.copy(f"data_set5/{n}_GT.png", tmp)
     r = SuperResolver(model=model, params=params, mode="fast")
-    _, means = evaluate_resolver_on_dir(r, tmp, scale=4, verbose=True)
+    scores, means = evaluate_resolver_on_dir(r, tmp, scale=4, verbose=True)
     shutil.rmtree(tmp, ignore_errors=True)
 
     path = "EVAL_ZOO.json"
     results = json.load(open(path)) if os.path.exists(path) else {}
-    results[model] = {**means, "steps": steps, "n_eval_images": n_eval}
+    results[model] = {
+        **means, "steps": steps, "n_eval_images": n_eval,
+        "per_image": {
+            sc.name: {"psnr_y": round(sc.psnr_y, 4),
+                      "ssim_y": round(sc.ssim_y, 4)}
+            for sc in scores
+        },
+    }
     with open(path, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps({model: results[model]}), flush=True)

@@ -64,7 +64,9 @@ def _analyze(name: str, lowered, nbytes_min: float) -> dict:
         ln for ln in entry_lines
         if re.match(r"\s+\S+ = (bf16|f32|s8|s32)\[[^\]]*\] convert\(", ln)
     ]
-    copies = [ln for ln in lines if re.search(r"\] copy\(", ln)]
+    # ENTRY-only, like the converts: a copy inside a fusion body is not a
+    # materialised HBM boundary
+    copies = [ln for ln in entry_lines if re.search(r"\] copy\(", ln)]
     fusions = [ln for ln in lines if re.search(r"\] fusion\(", ln)]
     try:
         ca = compiled.cost_analysis()
@@ -73,6 +75,7 @@ def _analyze(name: str, lowered, nbytes_min: float) -> dict:
         flops = float(ca.get("flops", float("nan")))
     except Exception as e:  # noqa: BLE001
         bytes_acc, flops = float("nan"), float("nan")
+        print(f"cost_analysis failed: {e}", flush=True)
         print(f"cost_analysis failed: {e}", file=sys.stderr)
     rep = {
         "program": name,
@@ -105,6 +108,18 @@ def main() -> int:
     qp = r._fwd_params()
     m = r.module
 
+    def tree_bytes(tree, keys=None):
+        """Actual stored bytes of (a subset of) the quantized tree."""
+        total = 0
+        for k, v in tree.items():
+            if keys is not None and not any(k.startswith(p) for p in keys):
+                continue
+            for leaf in jax.tree_util.tree_leaves(v):
+                total += np.asarray(leaf).nbytes
+        return float(total)
+
+    import numpy as np
+
     # --- full int8 fast forward at size^2 --------------------------------
     x = jnp.zeros((1, size, size, 3), jnp.float32)
     fwd = jax.jit(lambda qp, x: dp.apply_didbl_int8_xla(
@@ -113,7 +128,9 @@ def main() -> int:
     # analytic min traffic: uint-ish in + f32 out + weights once; feature
     # maps ideally stay fused (body 512^2x128 bf16 between blocks is the
     # real question — count it once per block boundary read+write)
-    w_bytes = 1.55e6  # ~1.5M params int8
+    w_bytes = tree_bytes(qp)  # ACTUAL stored bytes (didbl ~21.8M params;
+    #                           the r3 audit used a 1.55MB guess, skewing
+    #                           every recorded ratio ~1.4x — see ROADMAP)
     min_b = size * size * 3 * 4 + 16 * size * size * 3 * 4 + w_bytes
     f = _analyze(f"int8_fast_{size}", fwd.lower(qp, x), min_b)
 
@@ -122,10 +139,11 @@ def main() -> int:
     h = jnp.zeros((chunk, t, t, 128), jnp.bfloat16)
     tail = jax.jit(lambda qp, h: dp.apply_didbl_int8_xla_tail(
         qp, h, n_tail53=m.n_tail53, scale=m.scale))
+    w_tail = tree_bytes(qp, keys=("tail53_", "subpixel_conv", "out", "level1"))
     min_tail = (chunk * t * t * 128 * 2          # read body tiles bf16
                 + chunk * (4 * t) ** 2 * 128 * 1  # s8 upsampled map (ideal)
                 + chunk * (4 * t) ** 2 * 3 * 4    # f32 out
-                + w_bytes)
+                + w_tail)  # only the tail's weights are read here
     tl = _analyze(f"int8_split2d_tail_c{chunk}", tail.lower(qp, h), min_tail)
 
     # --- int8 body at size^2 (whole-frame, the 45 ms piece) --------------
@@ -134,12 +152,23 @@ def main() -> int:
     # per-block boundary: bf16 feature map written+read once per block is
     # the fused-ideal (skip connections force materialisation)
     blocks = m.n_body53 + m.n_light
+    w_body = tree_bytes(qp, keys=("body53_", "light_", "level1"))
     min_body = (size * size * 3 * 4
-                + 2 * blocks * size * size * 128 * 2 + w_bytes)
+                + 2 * blocks * size * size * 128 * 2 + w_body)
     bd = _analyze(f"int8_body_{size}", body.lower(qp, x), min_body)
 
     rep = {"audit": [f, tl, bd]}
     print(json.dumps(rep), flush=True)
+    def denan(o):  # json.dump would emit bare NaN (invalid JSON)
+        if isinstance(o, float) and o != o:
+            return None
+        if isinstance(o, dict):
+            return {k: denan(v) for k, v in o.items()}
+        if isinstance(o, list):
+            return [denan(v) for v in o]
+        return o
+
+    rep = denan(rep)
     out = os.environ.get("IEK_AUDIT_OUT", "AUDIT_FUSION.json")
     with open(out, "w") as fp:
         json.dump(rep, fp, indent=4)

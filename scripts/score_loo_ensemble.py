@@ -25,6 +25,12 @@ import numpy as np
 SET5 = ["baby", "bird", "butterfly", "head", "woman"]
 
 
+def _set5_dir() -> str:
+    from image_enhance_keras_tpu.utils.paths import find_repo_asset
+
+    return find_repo_asset("data_set5") or "data_set5"
+
+
 def main() -> int:
     from image_enhance_keras_tpu.data.io import imread
     from image_enhance_keras_tpu.engine import SuperResolver
@@ -70,7 +76,7 @@ def main() -> int:
             continue
         t0 = time.time()
         r = SuperResolver(model="didbl", weights=ckpt, mode="fast")
-        gt = imread(f"data_set5/{fold}_GT.png")
+        gt = imread(f"{_set5_dir()}/{fold}_GT.png")
         h, w = (gt.shape[0] // 4) * 4, (gt.shape[1] // 4) * 4
         gt = gt[:h, :w]
         lr = degrade(gt, 4)

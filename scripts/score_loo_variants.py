@@ -20,6 +20,12 @@ import numpy as np
 SET5 = ["baby", "bird", "butterfly", "head", "woman"]
 
 
+def _set5_dir() -> str:
+    from image_enhance_keras_tpu.utils.paths import find_repo_asset
+
+    return find_repo_asset("data_set5") or "data_set5"
+
+
 def main() -> int:
     import jax
 
@@ -67,7 +73,7 @@ def main() -> int:
                   "skipping ema", flush=True)
             ema = None
 
-        gt = imread(f"data_set5/{fold}_GT.png")
+        gt = imread(f"{_set5_dir()}/{fold}_GT.png")
         h, w = (gt.shape[0] // 4) * 4, (gt.shape[1] // 4) * 4
         gt = gt[:h, :w]
         lr = degrade(gt, 4)

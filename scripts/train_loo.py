@@ -37,7 +37,15 @@ def main() -> int:
     steps = int(os.environ.get("IEK_LOO_STEPS", "20000"))
     spe = 500
     epochs = max(1, steps // spe)
-    only = os.environ.get("IEK_LOO_ONLY")  # comma list of fold names
+    steps = epochs * spe  # the ACTUAL step budget (records must not lie)
+    only_env = os.environ.get("IEK_LOO_ONLY")  # comma list of fold names
+    only = None
+    if only_env:
+        only = {t.strip() for t in only_env.split(",") if t.strip()}
+        bad = only - set(SET5)
+        if bad:
+            raise SystemExit(f"IEK_LOO_ONLY: unknown folds {sorted(bad)}; "
+                             f"valid: {SET5}")
     # IEK_LOO_EMA: EMA decay (e.g. 0.999); the fold is then scored on the
     # EMA shadow weights — the artifact an EMA-trained run would serve
     ema = float(os.environ.get("IEK_LOO_EMA", "0"))
@@ -45,9 +53,14 @@ def main() -> int:
     # (data/pipeline.rich_synthetic_images) with colors sampled from the
     # fold's TRAIN-side images only; writes EVAL_LOO_RICH.json so the
     # legacy-corpus numbers stay comparable.
-    corpus = os.environ.get("IEK_LOO_CORPUS", "legacy")
+    # default matches the scorer scripts (score_loo_ensemble/variants):
+    # the current protocol is the rich corpus; legacy is the r2 baseline
+    corpus = os.environ.get("IEK_LOO_CORPUS", "rich")
 
-    gts = {n: imread(f"data_set5/{n}_GT.png") for n in SET5}
+    from image_enhance_keras_tpu.utils.paths import find_repo_asset
+
+    set5_dir = find_repo_asset("data_set5") or "data_set5"
+    gts = {n: imread(f"{set5_dir}/{n}_GT.png") for n in SET5}
     synth = synthetic_images(16, 256) if corpus == "legacy" else None
 
     results = {"steps_per_fold": steps, "folds": {}}
@@ -58,7 +71,7 @@ def main() -> int:
         results["steps_per_fold"] = steps
 
     for fold in SET5:
-        if only and fold not in only.split(","):
+        if only and fold not in only:
             continue
         if fold in results["folds"]:
             print(f"fold {fold}: already done, skipping", flush=True)
@@ -134,6 +147,9 @@ def main() -> int:
         results["folds"][fold] = {
             "psnr_y": s.psnr_y, "ssim_y": s.ssim_y, "ssim_rgb": s.ssim_rgb,
             "train_sec": round(time.time() - t0, 1),
+            # per-fold provenance: resumed files can mix configs, so the
+            # top-level steps_per_fold alone cannot be trusted for old rows
+            "steps": steps,
         }
         if corpus != "legacy":
             results["folds"][fold]["n_synth"] = len(fold_synth)

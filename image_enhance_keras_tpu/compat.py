@@ -32,6 +32,11 @@ __all__ = [
     "combine_patches",
     "extract_patches_2dlocal",
     "reconstruct_from_patches_2dlocal",
+    "PSNRLoss",
+    "PSNRLossTest",
+    "_image_scale_multiplier",
+    "img_size",
+    "stride",
     "psnrNITRE",
     "psnrVDSR",
     "PSNRTorch",
@@ -181,6 +186,27 @@ def im2doubleZ(im):
     im = np.asarray(im)
     lo, hi = im.min(), im.max()
     return (im.astype(float) - lo) / (hi - lo)
+
+
+def PSNRLoss(y_true, y_pred):
+    """The reference's training metric (models.py:43-55) — a STUB that
+    returns mean(y_pred) (the real formula sits dead after the return).
+    Kept verbatim as capability surface: this is why the reference's
+    ModelCheckpoint monitor 'val_PSNRLoss' never worked (SURVEY 2.5)."""
+    return float(np.mean(np.asarray(y_pred)))
+
+
+def PSNRLossTest(y_true, y_pred):
+    """models.py:57-69: the real -10*log10(MSE) on unit-range tensors."""
+    y_true, y_pred = np.asarray(y_true), np.asarray(y_pred)
+    return float(-10.0 * np.log10(np.mean(np.square(y_pred - y_true))))
+
+
+#: module config constants (img_utils.py:21-42) — values preserved for
+#: reference scripts that read them; the TPU data plane does not use them
+_image_scale_multiplier = 1
+img_size = 256 * _image_scale_multiplier
+stride = 16 * _image_scale_multiplier
 
 
 def psnr(y_true, y_pred):

@@ -424,3 +424,15 @@ def test_subimage_combine_scale_mismatch_is_loud():
     patches = compat.subimage_build_patch_global(img, 8, 16)
     with pytest.raises(ValueError, match="scaled image"):
         compat.subimage_combine_patches_global(img, patches, 8, 16, 2)
+
+
+def test_psnrloss_surface():
+    """models.py:43-69 loss metrics: PSNRLoss is the reference's stub
+    (returns mean(y_pred)); PSNRLossTest is the real unit-range PSNR."""
+    rng = np.random.default_rng(10)
+    a = rng.random((8, 8)).astype(np.float32)
+    b = np.clip(a + 0.01, 0, 1)
+    assert abs(compat.PSNRLoss(a, b) - float(np.mean(b))) < 1e-7
+    want = -10 * np.log10(np.mean((b - a) ** 2))
+    assert abs(compat.PSNRLossTest(a, b) - want) < 1e-6
+    assert compat.img_size == 256 and compat.stride == 16

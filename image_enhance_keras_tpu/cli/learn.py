@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="exponential-moving-average of params (e.g. 0.999); "
                         "val metrics score the EMA weights and the serving "
                         "artifact is exported to <ckpt-dir>/best_ema.npz")
+    p.add_argument("--loss", default="mse",
+                   choices=["mse", "charbonnier", "l1"],
+                   help="pixel loss: mse = the reference contract "
+                        "(models.py:1203-1213); charbonnier/l1 = robust "
+                        "variants (better edges on small corpora)")
     p.add_argument("--monitor", default="val_ssim_y",
                    choices=["val_ssim_y", "val_psnr_y", "val_psnr", "val_loss"],
                    help="best-checkpoint metric; val_ssim_y = the full-image "
@@ -77,6 +82,7 @@ def main(argv=None) -> int:
         clip_norm=args.clip_norm,
         lr_schedule=args.lr_schedule,
         ema_decay=args.ema_decay,
+        loss=args.loss,
         monitor=args.monitor,
     )
     from image_enhance_keras_tpu.data.pipeline import load_image_dir

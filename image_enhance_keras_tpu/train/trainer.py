@@ -55,9 +55,23 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def pixel_loss_fn(kind: str, eps: float = 1e-3) -> Callable:
+    """Pixel loss by name: "mse" (reference contract, models.py:1203-1213),
+    "charbonnier" (sqrt(d^2+eps^2), the LapSRN/EDSR-family robust loss) or
+    "l1".  All reduce with a mean over the batch."""
+    if kind == "mse":
+        return lambda pred, y: jnp.mean((pred - y) ** 2)
+    if kind == "charbonnier":
+        e2 = float(eps) ** 2
+        return lambda pred, y: jnp.mean(jnp.sqrt((pred - y) ** 2 + e2))
+    if kind == "l1":
+        return lambda pred, y: jnp.mean(jnp.abs(pred - y))
+    raise ValueError(f"unknown loss {kind!r}: expected mse|charbonnier|l1")
+
+
 def make_train_step(
     module, tx, scale: int, blur_sigma: float, pre_upscale: bool = False,
-    ema_decay: float = 0.0,
+    ema_decay: float = 0.0, loss: str = "mse", charbonnier_eps: float = 1e-3,
 ) -> Callable:
     """Build the fused degrade->forward->loss->update step (one XLA program).
 
@@ -65,7 +79,10 @@ def make_train_step(
     (models.py:652) — upscale LR back to HR size before the net.
     ``ema_decay``: when > 0, also advance the EMA shadow params inside the
     same program (state.ema must be initialised by the caller).
+    ``loss``: pixel loss (see pixel_loss_fn); the reported "psnr" metric is
+    always computed from the MSE so runs stay comparable across losses.
     """
+    objective = pixel_loss_fn(loss, charbonnier_eps)
 
     def net_input(lr_x):
         if pre_upscale:
@@ -78,8 +95,7 @@ def make_train_step(
 
     def loss_fn(params, lr_x, hr_y):
         pred = module.apply({"params": params}, net_input(lr_x))
-        loss = jnp.mean((pred - hr_y) ** 2)
-        return loss, pred
+        return objective(pred, hr_y), pred
 
     def step(state: TrainState, hr_u8: jnp.ndarray):
         lr_x = degrade_batch_on_device(hr_u8, scale=scale, blur_sigma=blur_sigma)
@@ -242,7 +258,8 @@ class Trainer:
         self.mesh = mesh
         step = make_train_step(
             self.module, self.tx, scale, cfg.blur_sigma, pre_up,
-            ema_decay=cfg.ema_decay,
+            ema_decay=cfg.ema_decay, loss=cfg.loss,
+            charbonnier_eps=cfg.charbonnier_eps,
         )
         eval_step = make_eval_step(self.module, scale, cfg.blur_sigma, pre_up)
         if mesh is not None:

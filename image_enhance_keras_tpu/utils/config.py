@@ -39,6 +39,11 @@ class Config:
     ckpt_every: int = 1  # epochs between checkpoint writes (final epoch always)
     clip_norm: float | None = None  # optax global-norm gradient clipping
     lr_schedule: str = "constant"  # "constant" | "cosine" (decay over the run)
+    # pixel loss: "mse" (the reference contract, models.py:1203-1213),
+    # "charbonnier" (sqrt(d^2+eps^2) — smooth L1, the LapSRN/EDSR-family
+    # robust loss; better edge generalisation on small corpora), or "l1"
+    loss: str = "mse"
+    charbonnier_eps: float = 1e-3
     # exponential moving average of params (0 disables).  When enabled the
     # val metrics / best-checkpoint selection score the EMA weights and the
     # serving artifact is exported as <ckpt_dir>/{best,latest}_ema.npz

@@ -124,6 +124,8 @@ def main() -> int:
             checkpoint_dir=ckpt_dir,
             monitor="val_psnr",  # patch-level on TRAIN-side images only
             ema_decay=ema,
+            # IEK_LOO_LOSS: pixel loss probe (mse | charbonnier | l1)
+            loss=os.environ.get("IEK_LOO_LOSS", "mse"),
             seed=0,
         )
         # val patches from the training images only — the held-out image
@@ -155,6 +157,10 @@ def main() -> int:
             results["folds"][fold]["n_synth"] = len(fold_synth)
         if ema:
             results["folds"][fold]["ema_decay"] = ema
+        if cfg.loss != "mse":
+            results["folds"][fold]["loss"] = cfg.loss
+        if weights is not None:
+            results["folds"][fold]["gt_mass"] = float(gt_mass)
         print(json.dumps({fold: results["folds"][fold]}), flush=True)
         # aggregate so partial runs still leave a valid file
         done = results["folds"]

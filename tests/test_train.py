@@ -482,3 +482,33 @@ def test_resume_continues_epoch_numbering(tmp_path):
         t3.fit(epochs=3)  # one MORE epoch: labeled 3
         epochs3 = [e["epoch"] for e in t3.ckpt.index["epochs"]]
         assert epochs3 == [1, 2, 3]
+
+
+def test_pixel_loss_fn_values():
+    """Analytic check of each loss on a known diff vector (one element off
+    by d=0.3, three exact, N=4; every loss means over all elements)."""
+    from image_enhance_keras_tpu.train.trainer import pixel_loss_fn
+
+    pred = jnp.array([0.5, 0.2, 0.0, 1.0])
+    y = jnp.array([0.2, 0.2, 0.0, 1.0])
+    d = 0.3
+    np.testing.assert_allclose(
+        pixel_loss_fn("mse")(pred, y), d * d / 4, rtol=1e-6)
+    np.testing.assert_allclose(
+        pixel_loss_fn("l1")(pred, y), d / 4, rtol=1e-6)
+    eps = 1e-3
+    expected = (np.sqrt(d * d + eps * eps) + 3 * eps) / 4
+    np.testing.assert_allclose(
+        pixel_loss_fn("charbonnier", eps)(pred, y), expected, rtol=1e-6)
+    with pytest.raises(ValueError, match="unknown loss"):
+        pixel_loss_fn("huber")
+
+
+@pytest.mark.parametrize("loss", ["charbonnier", "l1"])
+def test_fit_with_robust_losses(tmp_path, loss):
+    """Non-MSE losses train end-to-end and still report PSNR from the MSE
+    (comparable across losses)."""
+    t = _tiny_trainer(tmp_path, epochs=2, steps_per_epoch=8, loss=loss)
+    hist = t.fit()
+    assert hist["loss"][-1] < hist["loss"][0]
+    assert np.isfinite(hist["psnr"][-1])

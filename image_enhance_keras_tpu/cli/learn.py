@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "dead-leaves + 1/f noise, data/pipeline.py) — train "
                         "with no dataset at all, or pad a small one; colors "
                         "are sampled from --train-dir images when given")
+    p.add_argument("--fibers", action="store_true",
+                   help="with --synthetic: allocate a quarter of the corpus "
+                        "to hair/fur-like fiber textures (anisotropic thin "
+                        "structures the dead-leaves mix lacks)")
     p.add_argument("--real-mass", type=float, default=0.5, metavar="F",
                    help="with --train-dir AND --synthetic: fraction of patch "
                         "samples drawn from the real images (default 0.5). "
@@ -95,7 +99,8 @@ def main(argv=None) -> int:
         from image_enhance_keras_tpu.data.pipeline import rich_synthetic_images
 
         synth = rich_synthetic_images(
-            args.synthetic, 256, seed=0, palette_images=train_images
+            args.synthetic, 256, seed=0, palette_images=train_images,
+            fibers=args.fibers,
         )
         if train_images:
             from image_enhance_keras_tpu.data.pipeline import (

@@ -166,22 +166,124 @@ def dead_leaves_images(
     return out
 
 
+def fiber_images(
+    n: int = 8,
+    size: int = 256,
+    seed: int = 0,
+    palette_images: list[np.ndarray] | None = None,
+) -> list[np.ndarray]:
+    """Hair/fur-like fiber fields: anti-aliased strands integrated along a
+    smooth orientation field over a soft skin-tone background.
+
+    Motivation: the LOO "head" fold (skin + fine hair) is the held-out
+    floor (EVAL.md) — dead-leaves/pink-noise statistics carry occlusion
+    edges and broadband texture but no long thin ANISOTROPIC structures,
+    which is exactly what x4 SR must hallucinate on hair.  Strand colors
+    jitter around a base sampled from ``palette_images`` (train-side only
+    in held-out protocols) or a brown/grey range.
+    """
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    pal = None
+    if palette_images:
+        cols = [
+            im.reshape(-1, 3)[rng.integers(0, im.shape[0] * im.shape[1], 2048)]
+            for im in palette_images
+        ]
+        pal = np.concatenate(cols, axis=0).astype(np.float32)
+    out = []
+    for _ in range(n):
+        # soft background: two palette (or skin-range) colors in a smooth ramp
+        if pal is not None:
+            c0, c1 = pal[rng.integers(0, len(pal), 2)]
+        else:
+            c0 = np.array([rng.uniform(120, 220)] * 3) * np.array([1.0, 0.85, 0.7])
+            c1 = c0 * rng.uniform(0.6, 1.1)
+        gdir = rng.uniform(0, 2 * np.pi)
+        t = (np.cos(gdir) * xx + np.sin(gdir) * yy)[..., None]
+        t = (t - t.min()) / (np.ptp(t) + 1e-8)
+        img = (1 - t) * c0 + t * c1
+        # smooth orientation field: low-frequency sinusoid mix
+        th0 = rng.uniform(0, np.pi)
+        theta = th0 + rng.uniform(0.2, 0.9) * (
+            np.sin(2 * np.pi * (rng.uniform(0.5, 2) * xx + rng.uniform()))
+            + np.cos(2 * np.pi * (rng.uniform(0.5, 2) * yy + rng.uniform()))
+        ) * 0.5
+        # strand base color: dark fiber tone (palette-shaded)
+        if pal is not None:
+            base = pal[rng.integers(0, len(pal))] * rng.uniform(0.25, 0.7)
+        else:
+            base = np.array([rng.uniform(20, 90)]) * np.array([1.0, 0.8, 0.6])
+        n_strands = int(rng.integers(250, 500))
+        length = int(rng.integers(60, 160))
+        pos = rng.uniform(0, size - 1, (n_strands, 2)).astype(np.float32)
+        shade = rng.uniform(0.6, 1.5, (n_strands, 1)).astype(np.float32)
+        cols_s = np.clip(base[None, :] * shade, 0, 255)
+        alpha = rng.uniform(0.25, 0.6)
+        canvas = img.copy()
+        for _step in range(length):
+            iy = np.clip(pos[:, 0].astype(np.int32), 0, size - 1)
+            ix = np.clip(pos[:, 1].astype(np.int32), 0, size - 1)
+            ang = theta[iy, ix] + rng.normal(0, 0.03, n_strands)
+            pos[:, 0] += np.sin(ang)
+            pos[:, 1] += np.cos(ang)
+            fy, fx = pos[:, 0], pos[:, 1]
+            inside = (fy >= 0) & (fy < size - 1) & (fx >= 0) & (fx < size - 1)
+            if not inside.any():
+                break
+            fy, fx, c = fy[inside], fx[inside], cols_s[inside]
+            y0, x0 = fy.astype(np.int32), fx.astype(np.int32)
+            wy, wx = fy - y0, fx - x0
+            # bilinear splat (anti-aliased sub-pixel strand deposition)
+            for dy, dx, w in (
+                (0, 0, (1 - wy) * (1 - wx)),
+                (0, 1, (1 - wy) * wx),
+                (1, 0, wy * (1 - wx)),
+                (1, 1, wy * wx),
+            ):
+                a = (alpha * w)[:, None]
+                np.add.at(
+                    canvas,
+                    (y0 + dy, x0 + dx),
+                    a * (c - canvas[y0 + dy, x0 + dx]),
+                )
+        # half get sub-pixel softening like the dead-leaves corpus
+        if rng.random() < 0.5:
+            k = np.array([0.25, 0.5, 0.25], np.float32)
+            canvas = np.apply_along_axis(
+                lambda v: np.convolve(v, k, mode="same"), 0, canvas
+            )
+            canvas = np.apply_along_axis(
+                lambda v: np.convolve(v, k, mode="same"), 1, canvas
+            )
+        out.append(np.clip(canvas, 0, 255).astype(np.uint8))
+    return out
+
+
 def rich_synthetic_images(
     n: int = 48,
     size: int = 256,
     seed: int = 0,
     palette_images: list[np.ndarray] | None = None,
+    fibers: bool = False,
 ) -> list[np.ndarray]:
     """Mixed procedural corpus for training without a mounted dataset:
     1/2 textured dead-leaves (occlusion edges at all scales), 1/4 pink
     noise (natural spectra), 1/8 sharp dead-leaves, 1/8 legacy
-    sinusoid/stripe textures.  Deterministic per (n, size, seed)."""
-    n_dl = n // 2
+    sinusoid/stripe textures.  Deterministic per (n, size, seed).
+
+    ``fibers=True`` re-allocates a quarter of the dead-leaves share to
+    hair/fur-like fiber fields (fiber_images) — anisotropic thin
+    structures the default mix lacks; kept opt-in so recorded protocols
+    (EVAL_LOO_RICH.json) stay reproducible."""
+    n_fib = n // 4 if fibers else 0
+    n_dl = n // 2 - n_fib
     n_pink = n // 4
     n_sharp = n // 8
-    n_legacy = n - n_dl - n_pink - n_sharp
+    n_legacy = n - n_dl - n_fib - n_pink - n_sharp
     imgs = (
         dead_leaves_images(n_dl, size, seed, palette_images, textured=True)
+        + fiber_images(n_fib, size, seed + 4, palette_images)
         + pink_noise_images(n_pink, size, seed + 1)
         + dead_leaves_images(
             n_sharp, size, seed + 2, palette_images, textured=False

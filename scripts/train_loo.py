@@ -64,7 +64,11 @@ def main() -> int:
     synth = synthetic_images(16, 256) if corpus == "legacy" else None
 
     results = {"steps_per_fold": steps, "folds": {}}
-    out_path = "EVAL_LOO.json" if corpus == "legacy" else "EVAL_LOO_RICH.json"
+    out_path = {
+        "legacy": "EVAL_LOO.json",
+        "rich": "EVAL_LOO_RICH.json",
+        "rich_fiber": "EVAL_LOO_FIBER.json",
+    }.get(corpus, "EVAL_LOO_RICH.json")
     out_path = os.environ.get("IEK_LOO_OUT", out_path)
     if os.path.exists(out_path):
         results = json.load(open(out_path))
@@ -87,7 +91,8 @@ def main() -> int:
 
             n_rich = int(os.environ.get("IEK_LOO_RICH_N", "16"))
             fold_synth = rich_synthetic_images(
-                n_rich, 256, seed=0, palette_images=fold_gts
+                n_rich, 256, seed=0, palette_images=fold_gts,
+                fibers=(corpus == "rich_fiber"),
             )
         train_imgs = fold_gts + fold_synth
         # IEK_LOO_GT_MASS pins the real-GT sampling fraction regardless of

@@ -297,6 +297,36 @@ def test_rich_synthetic_corpus_properties():
     assert lo > 5 * hi
 
 
+def test_fiber_corpus_properties():
+    """Fiber generator: deterministic uint8 strands with anisotropic fine
+    structure; rich_synthetic_images(fibers=True) keeps count and stays
+    byte-stable for the default (fibers=False) recorded protocol."""
+    from image_enhance_keras_tpu.data.pipeline import (
+        fiber_images,
+        rich_synthetic_images,
+    )
+
+    imgs = fiber_images(2, 64, seed=0)
+    assert len(imgs) == 2
+    for im in imgs:
+        assert im.shape == (64, 64, 3) and im.dtype == np.uint8
+        assert im.std() > 3.0  # strands over background, not flat
+        # fine structure: many nonzero first-difference pixels
+        g = im.mean(-1).astype(np.float32)
+        assert (np.abs(np.diff(g, axis=0)) > 2).mean() > 0.05
+    np.testing.assert_array_equal(
+        fiber_images(1, 48, seed=3)[0], fiber_images(1, 48, seed=3)[0]
+    )
+    pal = [np.random.default_rng(1).integers(0, 256, (16, 16, 3), dtype=np.uint8)]
+    mix = rich_synthetic_images(16, 48, seed=0, palette_images=pal, fibers=True)
+    assert len(mix) == 16
+    # fibers=False must reproduce the recorded-protocol corpus exactly
+    base = rich_synthetic_images(8, 48, seed=0, palette_images=pal)
+    again = rich_synthetic_images(8, 48, seed=0, palette_images=pal, fibers=False)
+    for x, y in zip(base, again):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_patch_sampler_weights_pin_image_mass():
     """Weighted sampling: weights=[1,0] must draw every patch from image 0;
     a pinned 50/50 split over a 1-vs-9 corpus must hold to a few percent

@@ -1,8 +1,10 @@
 """One-shot quality evaluation: bicubic baseline + a checkpoint, NTIRE
 protocol, over a directory of HR ground truths.
 
-Run:  python scripts/eval_full.py [gt_dir] [weights] [--fast]
-Env:  IEK_MODEL (didbl) selects the zoo family for the checkpoint.
+Run:  python scripts/eval_full.py [gt_dir] [weights] [--fast] [--ensemble]
+Env:  IEK_MODEL (didbl) selects the zoo family for the checkpoint;
+      IEK_EVAL_OUT overrides the output path (EVAL_RESULTS.json).
+--ensemble adds the x8 geometric self-ensemble on top of the chosen mode.
 Defaults: data_set5, weights_Double/didbl_set5demo.npz, tiled parity mode.
 Writes EVAL_RESULTS.json next to the repo root.
 """
@@ -17,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     fast = "--fast" in sys.argv
+    ensemble = "--ensemble" in sys.argv
     gt_dir = args[0] if args else "data_set5"
     weights = args[1] if len(args) > 1 else "weights_Double/didbl_set5demo.npz"
     model = os.environ.get("IEK_MODEL", "didbl")
@@ -29,11 +32,12 @@ def main():
     _, mb = evaluate_resolver_on_dir(BicubicResolver(4), gt_dir, scale=4)
     print(f"=== {model} ({weights}) ===", flush=True)
     r = SuperResolver(model=model, weights=weights,
-                      mode="fast" if fast else "patch")
+                      mode="fast" if fast else "patch",
+                      self_ensemble=ensemble)
     _, mm = evaluate_resolver_on_dir(r, gt_dir, scale=4)
     out = {"bicubic": mb, model: mm, "weights": weights,
-           "mode": "fast" if fast else "patch"}
-    with open("EVAL_RESULTS.json", "w") as f:
+           "mode": ("fast" if fast else "patch") + ("+x8" if ensemble else "")}
+    with open(os.environ.get("IEK_EVAL_OUT", "EVAL_RESULTS.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
 

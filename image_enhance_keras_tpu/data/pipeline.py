@@ -24,6 +24,7 @@ from image_enhance_keras_tpu.data.io import imread, list_images
 
 __all__ = [
     "PatchSampler",
+    "builtin_photos",
     "degrade_batch_on_device",
     "load_image_dir",
     "synthetic_images",
@@ -38,6 +39,51 @@ def load_image_dir(path: str, limit: int | None = None) -> list[np.ndarray]:
     if limit:
         files = files[:limit]
     return [imread(f) for f in files]
+
+
+#: real photographs that ship INSIDE installed Python packages — the only
+#: natural-image data reachable in a zero-egress environment beyond the
+#: Set5 GTs themselves.  Each entry: (package, resource-relative path).
+_BUILTIN_PHOTO_SOURCES: tuple[tuple[str, str], ...] = (
+    # Temple of Heaven — architecture, roof-tile texture, foliage (640x427)
+    ("sklearn", "datasets/images/china.jpg"),
+    # flower macro — saturated color, soft gradients, fine stamens (640x427)
+    ("sklearn", "datasets/images/flower.jpg"),
+    # Grace Hopper portrait — face, skin, hair, glasses, fabric (512x600);
+    # the face/hair statistics the procedural corpus cannot synthesise
+    # (the LOO "head" fold is the measured weak spot, EVAL_LOO_*.json)
+    ("matplotlib", "mpl-data/sample_data/grace_hopper.jpg"),
+)
+
+
+def builtin_photos(min_side: int = 96) -> list[np.ndarray]:
+    """Real natural photographs bundled with installed packages, as RGB
+    uint8 arrays.  Degrades gracefully: sources whose package or file is
+    absent are skipped, so callers must handle an empty list.
+
+    Role: augments the training corpus with real-image statistics when no
+    dataset is mounted (the reference trains on a real corpus it does not
+    publish, /root/reference/README.md:10 + models.py:1064-1068; this is
+    the closest zero-egress substitute).  These are NOT evaluation images
+    — Set5 stays the only eval set — so leave-one-out held-out protocols
+    may train on them for every fold.
+    """
+    import importlib
+    import os
+
+    out: list[np.ndarray] = []
+    for pkg, rel in _BUILTIN_PHOTO_SOURCES:
+        try:
+            mod = importlib.import_module(pkg)
+            path = os.path.join(os.path.dirname(mod.__file__), *rel.split("/"))
+            if not os.path.exists(path):
+                continue
+            img = imread(path)
+        except Exception:
+            continue
+        if img.ndim == 3 and min(img.shape[:2]) >= min_side:
+            out.append(img)
+    return out
 
 
 def synthetic_images(n: int = 8, size: int = 128, seed: int = 0) -> list[np.ndarray]:

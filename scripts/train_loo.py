@@ -68,6 +68,11 @@ def main() -> int:
         "legacy": "EVAL_LOO.json",
         "rich": "EVAL_LOO_RICH.json",
         "rich_fiber": "EVAL_LOO_FIBER.json",
+        # rich corpus + the real photos bundled in installed packages
+        # (pipeline.builtin_photos: china/flower/grace_hopper) on the
+        # REAL side of the sampling mass — never eval images, so every
+        # fold may train on them
+        "rich_photo": "EVAL_LOO_PHOTO.json",
     }.get(corpus, "EVAL_LOO_RICH.json")
     out_path = os.environ.get("IEK_LOO_OUT", out_path)
     if os.path.exists(out_path):
@@ -82,6 +87,17 @@ def main() -> int:
             continue
         t0 = time.time()
         fold_gts = [gts[n] for n in SET5 if n != fold]
+        fold_real = list(fold_gts)
+        if corpus == "rich_photo":
+            from image_enhance_keras_tpu.data.pipeline import builtin_photos
+
+            photos = builtin_photos()
+            if not photos:
+                raise SystemExit(
+                    "corpus=rich_photo but no builtin package photos were "
+                    "found — run with corpus=rich instead"
+                )
+            fold_real += photos
         if corpus == "legacy":
             fold_synth = list(synth)
         else:
@@ -91,10 +107,10 @@ def main() -> int:
 
             n_rich = int(os.environ.get("IEK_LOO_RICH_N", "16"))
             fold_synth = rich_synthetic_images(
-                n_rich, 256, seed=0, palette_images=fold_gts,
+                n_rich, 256, seed=0, palette_images=fold_real,
                 fibers=(corpus == "rich_fiber"),
             )
-        train_imgs = fold_gts + fold_synth
+        train_imgs = fold_real + fold_synth
         # IEK_LOO_GT_MASS pins the real-GT sampling fraction regardless of
         # synthetic count (uniform sampling dilutes 4 GTs to 7.7% at n=48 —
         # the measured regression of the first rich-corpus probe)
@@ -106,7 +122,7 @@ def main() -> int:
             )
 
             weights = pinned_mass_weights(
-                len(fold_gts), len(fold_synth), float(gt_mass)
+                len(fold_real), len(fold_synth), float(gt_mass)
             )
             if weights is None:
                 print(f"fold {fold}: IEK_LOO_GT_MASS={gt_mass} ignored "
@@ -160,6 +176,8 @@ def main() -> int:
         }
         if corpus != "legacy":
             results["folds"][fold]["n_synth"] = len(fold_synth)
+        if corpus == "rich_photo":
+            results["folds"][fold]["n_photos"] = len(fold_real) - len(fold_gts)
         if ema:
             results["folds"][fold]["ema_decay"] = ema
         if cfg.loss != "mse":
@@ -181,7 +199,13 @@ def main() -> int:
                 if corpus == "legacy"
                 else f"{len(fold_synth)} rich procedural images "
                 "(textured dead-leaves + pink noise, colors sampled from "
-                "train-side GTs only)"
+                "train-side images only)"
+            )
+            + (
+                f" + {len(fold_real) - len(fold_gts)} real package-bundled "
+                "photos (pipeline.builtin_photos — never eval images)"
+                if corpus == "rich_photo"
+                else ""
             )
             + "; scorpath protocol (crop 10, Y-SSIM data_range 255)"
         )

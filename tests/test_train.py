@@ -327,6 +327,46 @@ def test_fiber_corpus_properties():
         np.testing.assert_array_equal(x, y)
 
 
+def test_builtin_photos_real_corpus():
+    """Package-bundled real photos (data/pipeline.builtin_photos): RGB
+    uint8, large enough to patch-sample, and never a Set5 eval image —
+    the zero-egress substitute for the reference's unpublished real
+    training corpus (README.md:10)."""
+    from image_enhance_keras_tpu.data.pipeline import (
+        PatchSampler,
+        builtin_photos,
+    )
+
+    photos = builtin_photos()
+    if not photos:  # environment without sklearn/matplotlib
+        import pytest
+
+        pytest.skip("no package-bundled photos in this environment")
+    for im in photos:
+        assert im.ndim == 3 and im.shape[2] == 3 and im.dtype == np.uint8
+        assert min(im.shape[:2]) >= 96  # PatchSampler-compatible
+        assert im.std() > 10.0  # a photograph, not a flat graphic
+    # must not be any Set5 eval image (same shape + near-identical pixels)
+    from image_enhance_keras_tpu.data.io import imread
+    from image_enhance_keras_tpu.utils.paths import find_repo_asset
+
+    set5_dir = find_repo_asset("data_set5")
+    if set5_dir:
+        import os
+
+        for name in ("baby", "bird", "butterfly", "head", "woman"):
+            gt_path = os.path.join(set5_dir, f"{name}_GT.png")
+            if not os.path.exists(gt_path):
+                continue
+            gt = imread(gt_path)
+            for im in photos:
+                assert im.shape != gt.shape or not np.array_equal(im, gt)
+    # patch sampling over the photo corpus works end-to-end
+    s = PatchSampler(photos, hr_patch=96, batch_size=4, seed=0)
+    batch = s.sample()
+    assert batch.shape == (4, 96, 96, 3) and batch.dtype == np.uint8
+
+
 def test_patch_sampler_weights_pin_image_mass():
     """Weighted sampling: weights=[1,0] must draw every patch from image 0;
     a pinned 50/50 split over a 1-vs-9 corpus must hold to a few percent

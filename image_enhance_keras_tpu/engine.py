@@ -434,25 +434,35 @@ class SuperResolver:
             if calib is None and getattr(self, "int8_calib", "images") == "images":
                 calib = self._calib_from_images()
                 if calib is None:
-                    # no usable calib dir: degrade rich procedural images
-                    # (textured dead-leaves + 1/f noise) through the SAME
-                    # serving-distribution path — measured far closer to
-                    # real-image calibration than the plain tiles
-                    # (EVAL_PROFILES int8_fast_excal row; the r2 tiles
-                    # measured 0.0052 FAIL on full Set5)
+                    # no usable calib dir: real package-bundled photos
+                    # (pipeline.builtin_photos — never eval images) through
+                    # the SAME serving-distribution path; procedural
+                    # dead-leaves + 1/f noise only when even those are
+                    # absent.  Both beat the r2 plain tiles (0.0052 FAIL on
+                    # full Set5); procedural measured 0.0021 PASS
+                    # (EVAL_PROFILES int8_fast_excal row).
                     from image_enhance_keras_tpu.data.pipeline import (
+                        builtin_photos,
                         rich_synthetic_images,
                     )
 
+                    photos = builtin_photos()
                     log.warning(
                         "int8_calib='images' but no usable images under %r; "
-                        "calibrating on procedural dead-leaves images",
+                        "calibrating on %s",
                         self.int8_calib_dir,
+                        "package-bundled real photos" if photos
+                        else "procedural dead-leaves images",
                     )
-                    calib = self._calib_from_arrays(
-                        rich_synthetic_images(8, 256, seed=17),
-                        self._calib_scale(),
-                    )
+                    if photos:
+                        calib = self._calib_from_arrays(
+                            photos, self._calib_scale()
+                        )
+                    if calib is None:
+                        calib = self._calib_from_arrays(
+                            rich_synthetic_images(8, 256, seed=17),
+                            self._calib_scale(),
+                        )
             if calib is None:
                 calib = (
                     jnp.asarray(np.stack(synthetic_images(4, 128)), jnp.float32)

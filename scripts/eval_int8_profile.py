@@ -51,13 +51,14 @@ def main() -> int:
         "int8_fast_dyntail": (dict(dtype=jnp.bfloat16, forward="int8"),
                               {"int8_dynamic_tail": True}),
         "int8_pallas_fast": (dict(dtype=jnp.bfloat16, forward="pallas_int8"), {}),
-        # held-out calibration: activation scales from procedural dead-leaves
-        # images only (NEVER the eval images) — the default int8_calib_dir is
-        # data_set5, which overlaps the gate's eval set; this row measures
-        # the gate without that circularity (r3 review finding)
-        # a nonexistent calib dir triggers the engine's OWN procedural
-        # fallback (rich dead-leaves, seed 17) — the row measures exactly
-        # the shipped no-calib-dir behaviour, no duplicated corpus here
+        # held-out calibration: activation scales from images that are NEVER
+        # the eval set — the default int8_calib_dir is data_set5, which
+        # overlaps the gate's eval set; this row measures the gate without
+        # that circularity (r3 review finding).  A nonexistent calib dir
+        # triggers the engine's OWN fallback chain: real package-bundled
+        # photos (builtin_photos, late-r3) then procedural dead-leaves
+        # (seed 17; measured 0.0021 PASS) — the row measures exactly the
+        # shipped no-calib-dir behaviour, no duplicated corpus here
         "int8_fast_excal": (dict(dtype=jnp.bfloat16, forward="int8"),
                             {"int8_calib_dir": "/nonexistent_iek_excal"}),
     }

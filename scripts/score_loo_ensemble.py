@@ -38,7 +38,11 @@ def main() -> int:
     from image_enhance_keras_tpu.eval.scorer import score_pair
 
     corpus = os.environ.get("IEK_LOO_CORPUS", "rich")
-    out_path = "EVAL_LOO.json" if corpus == "legacy" else "EVAL_LOO_RICH.json"
+    out_path = {
+        "legacy": "EVAL_LOO.json",
+        "rich_fiber": "EVAL_LOO_FIBER.json",
+        "rich_photo": "EVAL_LOO_PHOTO.json",
+    }.get(corpus, "EVAL_LOO_RICH.json")
     out_path = os.environ.get("IEK_LOO_OUT", out_path)
     results = json.load(open(out_path))
 

@@ -22,21 +22,41 @@ def test_calib_from_images_shapes():
     assert float(calib.min()) >= 0.0 and float(calib.max()) <= 1.0
 
 
-def test_calib_images_fallback_to_procedural(caplog, monkeypatch):
-    """Missing calibration dir falls back to degraded rich procedural
+def test_calib_images_fallback_chain(caplog, monkeypatch):
+    """Missing calibration dir falls back to real package-bundled photos
+    (builtin_photos — never eval images), then to degraded rich procedural
     images (NOT the plain tiles — those measured 0.0052 FAIL on full
-    Set5) with a log."""
+    Set5), each with a log."""
     import logging
+
+    from image_enhance_keras_tpu import engine as engine_mod
+    from image_enhance_keras_tpu.data.pipeline import builtin_photos
 
     monkeypatch.setattr(
         logging.getLogger("image_enhance_keras_tpu"), "propagate", True
     )
+    have_photos = bool(builtin_photos())
     r = _tiny_resolver()
     r.forward_mode = "int8"
     r.int8_calib_dir = "/nonexistent_calib_dir"
     with caplog.at_level(logging.WARNING):
         qp = r._fwd_params()
     assert qp is not None and "actc" in qp["body53_0"]
+    expect = ("package-bundled real photos" if have_photos
+              else "procedural dead-leaves")
+    assert any(expect in rec.getMessage() for rec in caplog.records)
+
+    # with photos unavailable the chain must land on the procedural corpus
+    import image_enhance_keras_tpu.data.pipeline as pipeline_mod
+
+    monkeypatch.setattr(pipeline_mod, "builtin_photos", lambda *a, **k: [])
+    caplog.clear()
+    r2 = _tiny_resolver()
+    r2.forward_mode = "int8"
+    r2.int8_calib_dir = "/nonexistent_calib_dir"
+    with caplog.at_level(logging.WARNING):
+        qp2 = r2._fwd_params()
+    assert qp2 is not None and "actc" in qp2["body53_0"]
     assert any("procedural dead-leaves" in rec.getMessage()
                for rec in caplog.records)
 

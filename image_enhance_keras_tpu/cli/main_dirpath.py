@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--self-ensemble", action="store_true",
                    help="x8 geometric self-ensemble (flips/rot90 averaged): "
                         "~0.1-0.2 dB better at 8x the forwards")
+    p.add_argument("--back-projection", type=int, default=0, metavar="N",
+                   help="N iterative back-projection steps: refine the SR "
+                        "output so its PIL-bicubic downscale matches the "
+                        "LR input (test-time, model-agnostic)")
     p.add_argument("--pipeline", action="store_true",
                    help="overlap native decode -> device -> encode "
                         "(runtime.serving); prints wall-clock Mpix/s incl. IO")
@@ -132,6 +136,7 @@ def _run(args) -> int:
             split_tile_w=args.split_tile_w,
             **({"split_tile": args.split_tile} if args.split_tile else {}),
             self_ensemble=args.self_ensemble,
+            back_projection=args.back_projection,
         )
     else:
         from image_enhance_keras_tpu.engine import SuperResolver
@@ -149,6 +154,7 @@ def _run(args) -> int:
             split_tile_w=args.split_tile_w,
             **({"split_tile": args.split_tile} if args.split_tile else {}),
             self_ensemble=args.self_ensemble,
+            back_projection=args.back_projection,
         )
     if args.pipeline:
         from image_enhance_keras_tpu.runtime.serving import serve_directory

@@ -84,6 +84,7 @@ class SuperResolver:
         split_tile: int = 64,
         split_tile_w: int | None = None,
         self_ensemble: bool = False,
+        back_projection: int = 0,
         module_and_spec: tuple | None = None,
     ):
         from image_enhance_keras_tpu.utils.jax_setup import setup_jax
@@ -121,6 +122,11 @@ class SuperResolver:
         self.split_tile = split_tile
         self.split_tile_w = split_tile_w
         self.self_ensemble = self_ensemble
+        #: test-time iterative back-projection steps (0 = off): refine the
+        #: finished SR frame so its PIL-bicubic downscale matches the LR
+        #: input (ops/backproject.py).  Composes with every mode/forward
+        #: and with self_ensemble (applied after the ensemble average).
+        self.back_projection = int(back_projection)
         self._jitted: dict[TilePlan, Any] = {}
         self._jitted_fast: dict[tuple[int, int], Any] = {}
 
@@ -533,12 +539,47 @@ class SuperResolver:
         tests on the standard seeds are bitwise.)
 
         ``self_ensemble=True`` wraps any of the above in the x8 geometric
-        self-ensemble (see ``_upscale_ensemble``).
+        self-ensemble (see ``_upscale_ensemble``).  ``back_projection=N``
+        then applies N iterative back-projection steps against the LR
+        input (ops/backproject.py).
         """
         img = np.asarray(img)
         if getattr(self, "self_ensemble", False):
-            return self._upscale_ensemble(img)
-        return self._upscale_single(img)
+            out = self._upscale_ensemble(img)
+        else:
+            out = self._upscale_single(img)
+        iters = int(getattr(self, "back_projection", 0) or 0)
+        if iters > 0:
+            out = self._back_project(out, img, iters)
+        return out
+
+    def _back_project(
+        self, sr_u8: np.ndarray, lr_u8: np.ndarray, iters: int
+    ) -> np.ndarray:
+        """Jitted IBP post-process; one cache entry per (shape, iters)."""
+        if (
+            sr_u8.shape[0] % lr_u8.shape[0]
+            or sr_u8.shape[1] % lr_u8.shape[1]
+        ):
+            # e.g. a divisibility-coerced eval path fed a non-multiple pair;
+            # IBP needs the exact integer-factor degradation model
+            log.warning(
+                "back_projection skipped: SR %s is not an integer multiple "
+                "of LR %s",
+                sr_u8.shape[:2],
+                lr_u8.shape[:2],
+            )
+            return sr_u8
+        key = ("backproj", sr_u8.shape[:2], lr_u8.shape[:2], iters)
+        fn = self._jitted.get(key)
+        if fn is None:
+            from image_enhance_keras_tpu.ops.backproject import back_project
+
+            fn = jax.jit(
+                lambda s, l: back_project(s, l, iters=iters)
+            )
+            self._jitted[key] = fn
+        return np.asarray(fn(jnp.asarray(sr_u8), jnp.asarray(lr_u8)))
 
     def _upscale_ensemble(self, img: np.ndarray) -> np.ndarray:
         """x8 geometric (dihedral) self-ensemble: upscale every flip/rot90

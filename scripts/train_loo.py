@@ -49,6 +49,12 @@ def main() -> int:
     # IEK_LOO_EMA: EMA decay (e.g. 0.999); the fold is then scored on the
     # EMA shadow weights — the artifact an EMA-trained run would serve
     ema = float(os.environ.get("IEK_LOO_EMA", "0"))
+    # IEK_LOO_BLUR: training degradation blur sigma.  Default 0.5 = the
+    # reference's training prep (img_utils.py:101) and every recorded LOO
+    # protocol.  The EVAL degradation is plain PIL-bicubic with NO blur
+    # (eval/evaluate.py:30, mirroring the reference's _evaluate,
+    # models.py:1545-1560) — 0 trains on exactly the serving distribution
+    blur = float(os.environ.get("IEK_LOO_BLUR", "0.5"))
     # corpus=rich: textured dead-leaves + pink-noise procedural corpus
     # (data/pipeline.rich_synthetic_images) with colors sampled from the
     # fold's TRAIN-side images only; writes EVAL_LOO_RICH.json so the
@@ -145,6 +151,7 @@ def main() -> int:
             checkpoint_dir=ckpt_dir,
             monitor="val_psnr",  # patch-level on TRAIN-side images only
             ema_decay=ema,
+            blur_sigma=blur,
             # IEK_LOO_LOSS: pixel loss probe (mse | charbonnier | l1)
             loss=os.environ.get("IEK_LOO_LOSS", "mse"),
             seed=0,
@@ -184,6 +191,8 @@ def main() -> int:
             results["folds"][fold]["loss"] = cfg.loss
         if weights is not None:
             results["folds"][fold]["gt_mass"] = float(gt_mass)
+        if blur != 0.5:
+            results["folds"][fold]["blur_sigma"] = blur
         print(json.dumps({fold: results["folds"][fold]}), flush=True)
         # aggregate so partial runs still leave a valid file
         done = results["folds"]

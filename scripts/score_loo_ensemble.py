@@ -96,6 +96,20 @@ def main() -> int:
             psnr_y_se=s.psnr_y, ssim_y_se=s.ssim_y, ssim_rgb_se=s.ssim_rgb,
             se_sec=round(time.time() - t0, 1),
         )
+        # IEK_LOO_BP>0 adds back-projection rows (ops/backproject.py) on
+        # top of both the single pass and the ensemble
+        bp = int(os.environ.get("IEK_LOO_BP", "3"))
+        if bp > 0:
+            r.self_ensemble = False
+            r.back_projection = bp
+            sbp = score_pair(gt, r.upscale(lr), name=f"{fold}:bp", crop_border=10)
+            r.self_ensemble = True
+            sebp = score_pair(gt, r.upscale(lr), name=f"{fold}:se+bp", crop_border=10)
+            row.update(
+                bp_iters=bp,
+                psnr_y_bp=sbp.psnr_y, ssim_y_bp=sbp.ssim_y,
+                psnr_y_se_bp=sebp.psnr_y, ssim_y_se_bp=sebp.ssim_y,
+            )
         print(json.dumps({fold: row}), flush=True)
         done = [v for v in results["folds"].values() if "ssim_y_se" in v]
         results["mean_se"] = {
@@ -105,6 +119,14 @@ def main() -> int:
                 "psnr_y_se", "ssim_y_se", "ssim_rgb_se",
             )
         }
+        bp_done = [v for v in results["folds"].values() if "ssim_y_bp" in v]
+        if bp_done:
+            results["mean_bp"] = {
+                k: float(np.mean([v[k] for v in bp_done]))
+                for k in (
+                    "psnr_y_bp", "ssim_y_bp", "psnr_y_se_bp", "ssim_y_se_bp",
+                )
+            }
         results["ensemble"] = (
             "x8 geometric self-ensemble (flips/rot90 averaged, engine "
             "self_ensemble=True) over the same per-fold checkpoints"

@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "dead-leaves + 1/f noise, data/pipeline.py) — train "
                         "with no dataset at all, or pad a small one; colors "
                         "are sampled from --train-dir images when given")
+    p.add_argument("--builtin-photos", action="store_true",
+                   help="add the real photographs bundled with installed "
+                        "packages (data/pipeline.builtin_photos) to the "
+                        "REAL side of the corpus — the zero-egress "
+                        "substitute for a mounted dataset")
     p.add_argument("--fibers", action="store_true",
                    help="with --synthetic: allocate a quarter of the corpus "
                         "to hair/fur-like fiber textures (anisotropic thin "
@@ -95,6 +100,16 @@ def main(argv=None) -> int:
     train_images = load_image_dir(args.train_dir) if args.train_dir else None
     val_images = load_image_dir(args.val_dir) if args.val_dir else None
     train_weights = None
+    if args.builtin_photos:
+        from image_enhance_keras_tpu.data.pipeline import builtin_photos
+
+        photos = builtin_photos()
+        if not photos:
+            raise SystemExit(
+                "--builtin-photos: no package-bundled photos found in this "
+                "environment"
+            )
+        train_images = (train_images or []) + photos
     if args.synthetic:
         from image_enhance_keras_tpu.data.pipeline import rich_synthetic_images
 

@@ -116,6 +116,37 @@ def test_learn_cli_synthetic_corpus(tmp_path, monkeypatch):
     assert (ckpt / "history.json").exists()
 
 
+def test_learn_cli_builtin_photos(tmp_path, monkeypatch):
+    """--builtin-photos adds the package-bundled real photos to the corpus
+    (real side of the pinned mass when --synthetic is also given)."""
+    import pytest
+
+    from image_enhance_keras_tpu.data.pipeline import builtin_photos
+
+    if not builtin_photos():
+        pytest.skip("no package-bundled photos in this environment")
+
+    from image_enhance_keras_tpu.train import trainer as trainer_mod
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+
+    tiny = DifvdsrDouble(features=8, n_body53=1, n_light=1, n_tail53=0)
+    spec = ModelSpec("didbl", lambda **k: tiny, 4, False, "tiny", "w")
+    monkeypatch.setattr(
+        trainer_mod, "get_model", lambda name, dtype=None: (tiny, spec)
+    )
+    from image_enhance_keras_tpu.cli.learn import main
+
+    ckpt = tmp_path / "ck"
+    rc = main([
+        "--builtin-photos", "--synthetic", "4", "--epochs", "1",
+        "--steps-per-epoch", "2", "--batch-size", "2", "--lr-patch", "16",
+        "--monitor", "val_psnr", "--checkpoint-dir", str(ckpt),
+    ])
+    assert rc == 0
+    assert (ckpt / "history.json").exists()
+
+
 def test_main_dirpath_int8_acc_flag(tmp_path, tiny_zoo, monkeypatch):
     """--int8-acc routes to the IEK_INT8_ACC env knob and the int8 forward
     runs under both accumulator settings (s8xs8 convs with bf16/s32

@@ -56,10 +56,11 @@ def main() -> int:
         # earlier probe run in the same /tmp dir.
         # EMA runs export latest_ema.npz — that IS what the recorded row
         # scored (train_loo serves the EMA shadow when enabled)
-        ema = f"/tmp/loo_{corpus}_{fold}/latest_ema.npz"
-        latest = f"/tmp/loo_{corpus}_{fold}/latest"
+        root = os.environ.get("IEK_LOO_CKPT_ROOT", "/tmp")
+        ema = f"{root}/loo_{corpus}_{fold}/latest_ema.npz"
+        latest = f"{root}/loo_{corpus}_{fold}/latest"
         candidates = [
-            ema, latest, f"/tmp/loo_{corpus}_{fold}/best",
+            ema, latest, f"{root}/loo_{corpus}_{fold}/best",
             f"/tmp/loo_{fold}/latest", f"/tmp/loo_{fold}/best",
         ]
         # a later non-EMA re-run in the same /tmp dir rewrites `latest`

@@ -137,7 +137,11 @@ def main() -> int:
                 print(f"fold {fold}: IEK_LOO_GT_MASS=0 pins the real GTs "
                       f"to ZERO sampling mass (synthetic-only run)",
                       flush=True)
-        ckpt_dir = f"/tmp/loo_{corpus}_{fold}"
+        # IEK_LOO_CKPT_ROOT keeps concurrent probe variants (e.g. a blur=0
+        # run of the same corpus) from clobbering each other's fold
+        # checkpoints, which score_loo_ensemble re-scores later
+        ckpt_root = os.environ.get("IEK_LOO_CKPT_ROOT", "/tmp")
+        ckpt_dir = f"{ckpt_root}/loo_{corpus}_{fold}"
         cfg = Config(
             model="didbl",
             lr=2e-4,

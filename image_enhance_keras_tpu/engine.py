@@ -556,21 +556,22 @@ class SuperResolver:
     def _back_project(
         self, sr_u8: np.ndarray, lr_u8: np.ndarray, iters: int
     ) -> np.ndarray:
-        """Jitted IBP post-process; one cache entry per (shape, iters)."""
+        """Jitted IBP post-process; one cache entry per (shape, iters).
+        Accepts a single frame (H, W, C) or a batch (T, H, W, C)."""
         if (
-            sr_u8.shape[0] % lr_u8.shape[0]
-            or sr_u8.shape[1] % lr_u8.shape[1]
+            sr_u8.shape[-3] % lr_u8.shape[-3]
+            or sr_u8.shape[-2] % lr_u8.shape[-2]
         ):
             # e.g. a divisibility-coerced eval path fed a non-multiple pair;
             # IBP needs the exact integer-factor degradation model
             log.warning(
                 "back_projection skipped: SR %s is not an integer multiple "
                 "of LR %s",
-                sr_u8.shape[:2],
-                lr_u8.shape[:2],
+                sr_u8.shape[-3:-1],
+                lr_u8.shape[-3:-1],
             )
             return sr_u8
-        key = ("backproj", sr_u8.shape[:2], lr_u8.shape[:2], iters)
+        key = ("backproj", sr_u8.shape, lr_u8.shape, iters)
         fn = self._jitted.get(key)
         if fn is None:
             from image_enhance_keras_tpu.ops.backproject import back_project
@@ -936,13 +937,19 @@ class SuperResolver:
     def upscale_frame(self, frame: np.ndarray) -> np.ndarray:
         """Single-frame API without tiling — the ``upVideo`` contract
         (models.py:165-182): ndarray in, x4 ndarray out (pre-upscaled-input
-        models get the bicubic x4 first, like upscale())."""
+        models get the bicubic x4 first, like upscale()).  Honors
+        ``back_projection`` like upscale()."""
+        frame = np.asarray(frame)
         x = jnp.asarray(frame).astype(jnp.float32)[None]
         x = self._pre_upscale_batch(x) / 255.0
         y = self._frame_fn(x.shape[1:3])(self._fwd_params(), x)
-        return np.asarray(
+        out = np.asarray(
             jnp.clip(jnp.round(y[0] * 255.0), 0, 255).astype(jnp.uint8)
         )
+        iters = int(getattr(self, "back_projection", 0) or 0)
+        if iters > 0:
+            out = self._back_project(out, frame, iters)
+        return out
 
     def upscale_video(self, frames: np.ndarray, frame_chunk: int = 1) -> np.ndarray:
         """Batch-of-frames x4 (the streaming video serving path): (T, H, W, 3)
@@ -974,7 +981,11 @@ class SuperResolver:
 
             fn = self._jit_replicated(run)
             self._jitted[key] = fn
-        return np.asarray(fn(self._fwd_params(), jnp.asarray(frames)))
+        out = np.asarray(fn(self._fwd_params(), jnp.asarray(frames)))
+        iters = int(getattr(self, "back_projection", 0) or 0)
+        if iters > 0:
+            out = self._back_project(out, frames, iters)
+        return out
 
     def _video_chunk(self, frame_chunk: int) -> int:
         """Hook for sharded engines: per-device chunking means the global

@@ -38,23 +38,24 @@ def back_project(
     """Refine ``sr`` so its PIL-bicubic downscale matches ``lr``.
 
     Args:
-      sr: (Hs, Ws, C) SR estimate, uint8 or float in [0, 255].
-      lr: (Hl, Wl, C) LR input, uint8 or float in [0, 255]; Hs/Hl and
-        Ws/Wl must be the (integer) scale factor.
+      sr: (..., Hs, Ws, C) SR estimate, uint8 or float in [0, 255].
+      lr: (..., Hl, Wl, C) LR input, uint8 or float in [0, 255]; Hs/Hl
+        and Ws/Wl must be the (integer) scale factor.  Leading batch
+        dims (e.g. video frames) must match sr's.
       iters: back-projection iterations (static; small, typically 1-5).
       step: residual gain per iteration (1.0 = full correction).
 
-    Returns uint8 (Hs, Ws, C).
+    Returns uint8 with sr's shape.
     """
-    if sr.shape[0] % lr.shape[0] or sr.shape[1] % lr.shape[1]:
+    if sr.shape[-3] % lr.shape[-3] or sr.shape[-2] % lr.shape[-2]:
         raise ValueError(
-            f"sr {sr.shape[:2]} is not an integer multiple of lr "
-            f"{lr.shape[:2]}"
+            f"sr {sr.shape[-3:-1]} is not an integer multiple of lr "
+            f"{lr.shape[-3:-1]}"
         )
     x = sr.astype(jnp.float32)
     y = lr.astype(jnp.float32)
-    lr_hw = (lr.shape[0], lr.shape[1])
-    sr_hw = (sr.shape[0], sr.shape[1])
+    lr_hw = (lr.shape[-3], lr.shape[-2])
+    sr_hw = (sr.shape[-3], sr.shape[-2])
     for _ in range(int(iters)):
         down = resize_bicubic_pil(x, lr_hw)
         x = x + step * resize_bicubic_pil(y - down, sr_hw)

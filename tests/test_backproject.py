@@ -87,6 +87,46 @@ def test_engine_back_projection_composes():
     assert _residual(out_se, img) < _residual(base, img)
 
 
+def test_back_project_batched_matches_per_frame():
+    """(T, H, W, C) IBP == per-frame IBP (video path wiring)."""
+    _, lr0, sr0 = _pair(seed=8)
+    _, lr1, sr1 = _pair(seed=9)
+    batch = np.asarray(
+        back_project(
+            jnp.asarray(np.stack([sr0, sr1])),
+            jnp.asarray(np.stack([lr0, lr1])),
+            iters=2,
+        )
+    )
+    one0 = np.asarray(back_project(jnp.asarray(sr0), jnp.asarray(lr0), iters=2))
+    one1 = np.asarray(back_project(jnp.asarray(sr1), jnp.asarray(lr1), iters=2))
+    np.testing.assert_array_equal(batch[0], one0)
+    np.testing.assert_array_equal(batch[1], one1)
+
+
+def test_engine_frame_and_video_back_projection():
+    """upscale_frame / upscale_video honor back_projection."""
+    from tests.test_engine_e2e import _tiny_resolver
+
+    frames = np.random.default_rng(71).integers(
+        0, 256, (2, 16, 16, 3), dtype=np.uint8
+    )
+    r = _tiny_resolver(mode="fast")
+    base_f = r.upscale_frame(frames[0])
+    base_v = r.upscale_video(frames)
+
+    r_bp = _tiny_resolver(mode="fast")
+    r_bp.back_projection = 2
+    out_f = r_bp.upscale_frame(frames[0])
+    out_v = r_bp.upscale_video(frames)
+    assert out_f.shape == base_f.shape and out_v.shape == base_v.shape
+    assert _residual(out_f, frames[0]) < _residual(base_f, frames[0])
+    assert _residual(out_v[1], frames[1]) < _residual(base_v[1], frames[1])
+    # frame and video paths agree with each other under IBP
+    np.testing.assert_array_equal(out_v[0], r_bp._back_project(
+        base_v[0], frames[0], 2))
+
+
 def test_cli_back_projection_flag(tmp_path, monkeypatch):
     """--back-projection N reaches the resolver on both CLI branches."""
     from image_enhance_keras_tpu.cli.main_dirpath import build_parser

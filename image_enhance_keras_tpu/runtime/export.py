@@ -77,6 +77,11 @@ def export_pipeline(resolver, input_hw: tuple[int, int], path: str) -> int:
     ``load_forward``'s function yourself, or export the transposed bucket
     too for non-square inputs.  A warning is logged so the divergence from
     ``resolver.upscale`` output is never silent.
+
+    ``back_projection`` IS baked in (it is two in-graph resize matmuls,
+    ops/backproject.py) — except for pre-upscaled-input models, where the
+    program input is not the LR frame IBP projects against (warned, like
+    self_ensemble).
     """
     from jax import export as jexport
 
@@ -111,8 +116,26 @@ def export_pipeline(resolver, input_hw: tuple[int, int], path: str) -> int:
             )
         inner = resolver._pipeline_for(resolver.plan_for(*hw))
 
+    bp = int(getattr(resolver, "back_projection", 0) or 0)
+    if bp and getattr(resolver.spec, "pre_upscaled_input", False):
+        log.warning(
+            "export_pipeline: back_projection=%d is NOT baked in for a "
+            "pre-upscaled-input model — the program input is the bicubic-"
+            "upscaled frame, not the LR frame IBP projects against; apply "
+            "IBP against the original LR around the loaded fn", bp,
+        )
+        bp = 0
+
+    def run(img):
+        out = inner(params, img)
+        if bp:
+            from image_enhance_keras_tpu.ops.backproject import back_project
+
+            out = back_project(out, img, iters=bp)
+        return out
+
     spec = jax.ShapeDtypeStruct((hw[0], hw[1], 3), jnp.uint8)
-    exp = jexport.export(jax.jit(lambda img: inner(params, img)))(spec)
+    exp = jexport.export(jax.jit(run))(spec)
     blob = _MAGIC + exp.serialize()
     with open(path, "wb") as f:
         f.write(blob)

@@ -398,6 +398,27 @@ def test_export_pipeline_split_roundtrip(tmp_path):
     assert np.abs(out - live.astype(np.int32)).max() <= 1
 
 
+def test_export_pipeline_bakes_back_projection(tmp_path):
+    """A configured back_projection is part of the exported program — the
+    artifact reproduces resolver.upscale exactly (the knob must never be
+    silently dropped on the serving fleet)."""
+    from image_enhance_keras_tpu.runtime.export import export_pipeline, load_forward
+
+    r = _tiny_resolver(mode="fast")
+    r.back_projection = 2
+    img = np.random.default_rng(23).integers(0, 256, (24, 20, 3), dtype=np.uint8)
+    live = np.asarray(r.upscale(img))
+
+    path = str(tmp_path / "tiny_bp.iekx")
+    export_pipeline(r, (24, 20), path)
+    out = np.asarray(load_forward(path)(img)).astype(np.int32)
+    assert np.abs(out - live.astype(np.int32)).max() <= 1
+    # and it genuinely differs from the bp-less program
+    r0 = _tiny_resolver(mode="fast")
+    base = np.asarray(r0.upscale(img))
+    assert not np.array_equal(live, base)
+
+
 @pytest.mark.slow
 def test_export_pipeline_int8_split2d_1024_roundtrip(tmp_path):
     """The headline production artifact: int8 + 2-D tiled split at a 1024^2

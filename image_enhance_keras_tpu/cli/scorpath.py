@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scale-factor", default=4, type=int)
     p.add_argument("--self-ensemble", action="store_true",
                    help="with --generate: x8 geometric self-ensemble forwards")
+    p.add_argument("--back-projection", type=int, default=0, metavar="N",
+                   help="with --generate: N iterative back-projection steps")
     p.add_argument("--forward", default="xla",
                    choices=["xla", "int8", "pallas", "pallas_chain", "pallas_int8"],
                    help="with --generate: forward implementation — score the "
@@ -58,6 +60,7 @@ def main(argv=None) -> int:
             model=args.model,
             weights=resolve_cli_weights(args.model, args.weights),
             self_ensemble=args.self_ensemble,
+            back_projection=args.back_projection,
             forward=args.forward,
             dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
         )

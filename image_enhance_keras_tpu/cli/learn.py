@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="exponential-moving-average of params (e.g. 0.999); "
                         "val metrics score the EMA weights and the serving "
                         "artifact is exported to <ckpt-dir>/best_ema.npz")
+    p.add_argument("--blur-sigma", type=float, default=0.5,
+                   help="training degradation blur sigma (default 0.5 = the "
+                        "reference's prep, img_utils.py:101). 0 trains on the "
+                        "eval protocol's plain-bicubic degradation — the "
+                        "measured best-quality recipe when serving inputs "
+                        "are clean bicubic downscales (EVAL.md LOO probes)")
     p.add_argument("--loss", default="mse",
                    choices=["mse", "charbonnier", "l1"],
                    help="pixel loss: mse = the reference contract "
@@ -93,6 +99,7 @@ def main(argv=None) -> int:
         ema_decay=args.ema_decay,
         loss=args.loss,
         monitor=args.monitor,
+        blur_sigma=args.blur_sigma,
     )
     from image_enhance_keras_tpu.data.pipeline import load_image_dir
     from image_enhance_keras_tpu.train.trainer import Trainer

@@ -116,6 +116,16 @@ def test_learn_cli_synthetic_corpus(tmp_path, monkeypatch):
     assert (ckpt / "history.json").exists()
 
 
+def test_learn_cli_blur_sigma_flag():
+    """--blur-sigma threads the training degradation blur into Config
+    (0 = train on the eval protocol's plain-bicubic degradation)."""
+    from image_enhance_keras_tpu.cli.learn import build_parser
+
+    p = build_parser()
+    assert p.parse_args([]).blur_sigma == 0.5  # reference prep default
+    assert p.parse_args(["--blur-sigma", "0"]).blur_sigma == 0.0
+
+
 def test_learn_cli_builtin_photos(tmp_path, monkeypatch):
     """--builtin-photos adds the package-bundled real photos to the corpus
     (real side of the pinned mass when --synthetic is also given)."""

@@ -79,6 +79,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 conv accumulator emission (default bf16: +2%% "
                         "throughput, noise-level quality change — "
                         "EVAL_PROFILES.json; s32 = exact native path)")
+    p.add_argument("--round-mode", default="round", choices=["round", "trunc"],
+                   help="final uint8 cast: round (nearest, quality-positive "
+                        "default) or trunc (the reference's exact cast, "
+                        "models.py:391 — for byte-parity runs against "
+                        "reference-produced outputs)")
+    p.add_argument("--int8-calib-dir", default=None, metavar="DIR",
+                   help="calibrate int8 activation scales on images from "
+                        "DIR (a few representative production frames); "
+                        "default: package-bundled photos — the shipped "
+                        "default never reads eval images")
     p.add_argument("--int8-emit", default=None, choices=["wide", "s8"],
                    help="int8 branch-intermediate emission: s8 fuses the "
                         "requantize into the conv epilogue so the "
@@ -137,6 +147,7 @@ def _run(args) -> int:
             **({"split_tile": args.split_tile} if args.split_tile else {}),
             self_ensemble=args.self_ensemble,
             back_projection=args.back_projection,
+            round_mode=args.round_mode,
         )
     else:
         from image_enhance_keras_tpu.engine import SuperResolver
@@ -155,7 +166,10 @@ def _run(args) -> int:
             **({"split_tile": args.split_tile} if args.split_tile else {}),
             self_ensemble=args.self_ensemble,
             back_projection=args.back_projection,
+            round_mode=args.round_mode,
         )
+    if args.int8_calib_dir:
+        resolver.int8_calib_dir = args.int8_calib_dir
     if args.pipeline:
         from image_enhance_keras_tpu.runtime.serving import serve_directory
 

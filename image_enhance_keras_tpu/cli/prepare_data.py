@@ -36,15 +36,21 @@ def prepare(
     patch_hr: int | None = None,
     true_upscale: bool = False,
     sharpen: bool = True,
+    max_images: int | None = None,
 ) -> int:
-    """Returns the number of patch pairs written."""
+    """Returns the number of patch pairs written.  ``max_images`` caps the
+    number of source images processed (compat.transform_images converts the
+    reference's off-by-one ``max_nb_images`` contract to this)."""
     x_dir = os.path.join(output_dir, "X")
     y_dir = os.path.join(output_dir, "y")
     os.makedirs(x_dir, exist_ok=True)
     os.makedirs(y_dir, exist_ok=True)
     patch_hr = patch_hr or 16 * scale
     count = 0
-    for idx, path in enumerate(list_images(input_dir)):
+    paths = list_images(input_dir)
+    if max_images is not None and max_images >= 0:
+        paths = paths[:max_images]
+    for idx, path in enumerate(paths):
         img = imread(path)
         img = np.asarray(resize_pil_uint8(jnp.asarray(img), (img_size, img_size))).astype(np.uint8)
         if sharpen:
@@ -81,6 +87,8 @@ def main(argv=None) -> int:
     p.add_argument("--stride", type=int, default=16)
     p.add_argument("--true-upscale", action="store_true")
     p.add_argument("--no-sharpen", action="store_true")
+    p.add_argument("--max-images", type=int, default=None,
+                   help="process at most N source images")
     args = p.parse_args(argv)
     n = prepare(
         args.input_dir,
@@ -90,6 +98,7 @@ def main(argv=None) -> int:
         stride=args.stride,
         true_upscale=args.true_upscale,
         sharpen=not args.no_sharpen,
+        max_images=args.max_images,
     )
     log.info("wrote %d patch pairs", n)
     return 0

@@ -391,17 +391,22 @@ def extract_patches_2dv2(image, patch_size, max_patches=None, random_state=None)
 def transform_images(directory, output_directory, scaling_factor=2,
                      max_nb_images=-1, true_upscale=False):
     """Dataset preparation (img_utils.py:44-123) — delegates to the
-    first-class prepare_data pipeline (sharpen + blur + bicubic pairs)."""
+    first-class prepare_data pipeline (sharpen + blur + bicubic pairs).
+
+    ``max_nb_images`` reproduces the reference's exact stop condition
+    (img_utils.py:119-121): ``index`` starts at 1 and increments AFTER each
+    image, and the loop breaks when ``index >= max_nb_images`` — so N > 0
+    processes ``max(1, N - 1)`` images, not N (a reference off-by-one,
+    preserved because the compat layer promises its behavior, not its
+    intent).  -1/None = all images, like the reference."""
     from image_enhance_keras_tpu.cli.prepare_data import prepare
 
+    cap = None
     if max_nb_images not in (-1, None):
-        log.warning(
-            "transform_images: max_nb_images is not supported by the "
-            "prepare_data pipeline; processing the whole directory"
-        )
+        cap = max(1, int(max_nb_images) - 1)
     return prepare(
         directory, output_directory, scale=scaling_factor,
-        true_upscale=true_upscale,
+        true_upscale=true_upscale, max_images=cap,
     )
 
 
@@ -415,10 +420,59 @@ def image_count(dir_path: str = "train_images/train") -> int:
     return _ic(dir_path)
 
 
-def image_generator(directory, scale_factor=1, batch_size=10, shuffle=True, seed=None, **_):
+def image_generator(directory, scale_factor=2, target_shape=None, channels=3,
+                    small_train_images=False, shuffle=True, batch_size=32,
+                    seed=None, **_):
+    """Disk-pair batch generator with the reference's SHAPE CONTRACT
+    (img_utils.py:290-372), tf dim-ordering:
+
+    * default: X and y are both ``16*scale_factor*multiplier`` px (the
+      pre-upscaled-X pairing, img_utils.py:303-309);
+    * ``small_train_images``: X is RESIZED to ``16*multiplier`` px at load
+      (img_utils.py:352) and y is ``16*scale_factor*multiplier`` px — the
+      true-upscale pairing;
+    * ``target_shape``: y is target_shape; X is target_shape (or
+      ``target_shape*multiplier//scale_factor`` when small_train_images,
+      img_utils.py:314-318).
+
+    On-disk patches that don't fit the contract raise ValueError — the
+    reference's fixed-shape ``batch_x[i] = img`` assignment would have
+    raised the same way (img_utils.py:344-356)."""
     from image_enhance_keras_tpu.data.generator import paired_patch_generator
 
-    return paired_patch_generator(directory, batch_size=batch_size, shuffle=shuffle, seed=seed)
+    m = _image_scale_multiplier
+    if target_shape is None:
+        if small_train_images:
+            x_shape = (16 * m, 16 * m, channels)
+            y_shape = (16 * scale_factor * m, 16 * scale_factor * m, channels)
+        else:
+            x_shape = (16 * scale_factor * m, 16 * scale_factor * m, channels)
+            y_shape = x_shape
+    elif small_train_images:
+        y_shape = tuple(target_shape) + (channels,)
+        x_shape = (target_shape[0] * m // scale_factor,
+                   target_shape[1] * m // scale_factor, channels)
+    else:
+        x_shape = tuple(target_shape) + (channels,)
+        y_shape = x_shape
+
+    gen = paired_patch_generator(
+        directory, batch_size=batch_size, shuffle=shuffle, seed=seed
+    )
+    for bx, by in gen:
+        if small_train_images and bx.shape[1:3] != x_shape[:2]:
+            # the reference resizes every X to the LR size at load time
+            bx = np.asarray(
+                _pil_resize(jnp.asarray(bx * 255.0), x_shape[:2])
+            ).astype(np.float32) / 255.0
+        if bx.shape[1:] != x_shape or by.shape[1:] != y_shape:
+            raise ValueError(
+                f"image_generator: on-disk patches {bx.shape[1:]}/"
+                f"{by.shape[1:]} do not fit the scale_factor={scale_factor} "
+                f"small_train_images={small_train_images} contract "
+                f"{x_shape}/{y_shape} (img_utils.py:303-329)"
+            )
+        yield bx, by
 
 
 # ---------------------------------------------------------------------------

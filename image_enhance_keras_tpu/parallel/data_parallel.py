@@ -28,8 +28,11 @@ from image_enhance_keras_tpu.tiling import (
     stitch_tiles,
     crop_output,
 )
+from image_enhance_keras_tpu.utils.logging import get_logger
 
 __all__ = ["shard_train_step", "shard_eval_step", "shard_batch", "ShardedResolver"]
+
+log = get_logger(__name__)
 
 
 def _axis(mesh: Mesh) -> str:
@@ -147,7 +150,7 @@ class ShardedResolver(SuperResolver):
             out = out * 255.0
             canvas = stitch_tiles(out, plan)
             result = crop_output(canvas, plan)
-            return jnp.clip(jnp.round(result), 0.0, 255.0).astype(jnp.uint8)
+            return self._finalize_u8(result)
 
         repl = NamedSharding(mesh, P())
         fn = jax.jit(run, in_shardings=(repl, repl), out_shardings=repl)
@@ -172,7 +175,7 @@ class ShardedResolver(SuperResolver):
                 x = img_u8.astype(jnp.float32)[None] / 255.0
                 x = jax.lax.with_sharding_constraint(x, spatial)
                 y = forward(params, x)[0] * 255.0
-                return jnp.clip(jnp.round(y), 0.0, 255.0).astype(jnp.uint8)
+                return self._finalize_u8(y)
 
             fn = jax.jit(run, in_shardings=(self._repl(), self._repl()),
                          out_shardings=self._repl())
@@ -235,7 +238,7 @@ class ShardedResolver(SuperResolver):
                 y = tail_fn(params, sl)
                 outs.append(y[:, (k - s0) * ts : (k - s0 + tt) * ts])
             out = jnp.concatenate(outs, axis=1)[0] * 255.0
-            return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+            return self._finalize_u8(out)
 
         fn = jax.jit(run, in_shardings=(self._repl(), self._repl()),
                      out_shardings=self._repl())
@@ -281,6 +284,17 @@ class ShardedResolver(SuperResolver):
         n_full = (n_tiles // chunk) * chunk
         rem = n_tiles - n_full
         rem_pad = -(-rem // nd) * nd if rem else 0
+        if rem and n_full:
+            # same measured pathology as the single-chip program (ADVICE r3/
+            # ROADMAP.md sweep): the remainder batch is a second tail program
+            log.warning(
+                "split2d: global chunk %d does not divide the %dx%d=%d-tile "
+                "batch (remainder %d) — the remainder batch compiles a "
+                "second tail program, measured ~2.4x slower end-to-end; "
+                "pick --split-tile/--split-tile-w so the tile count is a "
+                "chunk multiple",
+                chunk, g["n_r"], g["n_c"], n_tiles, rem,
+            )
         spatial = self._spatial()
         batch_sh = NamedSharding(mesh, P(axis))
 
@@ -312,7 +326,7 @@ class ShardedResolver(SuperResolver):
                 parts.append(apply_chunk(params, tail)[:rem])
             y = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
             out = self._split2d_stitch(y, g) * 255.0
-            return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+            return self._finalize_u8(out)
 
         fn = jax.jit(run, in_shardings=(self._repl(), self._repl()),
                      out_shardings=self._repl())

@@ -48,7 +48,7 @@ def export_forward(resolver, input_hw: tuple[int, int], path: str) -> int:
     def run(img_u8):
         x = img_u8.astype(jnp.float32)[None] / 255.0
         y = forward(params, x)[0] * 255.0
-        return jnp.clip(jnp.round(y), 0.0, 255.0).astype(jnp.uint8)
+        return resolver._finalize_u8(y)  # honors resolver.round_mode
 
     spec = jax.ShapeDtypeStruct((int(input_hw[0]), int(input_hw[1]), 3), jnp.uint8)
     exp = jexport.export(jax.jit(run))(spec)

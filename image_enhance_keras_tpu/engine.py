@@ -86,25 +86,24 @@ class SuperResolver:
         self_ensemble: bool = False,
         back_projection: int = 0,
         round_mode: str = "round",
-        f32_spine: bool = False,
+        mixed: bool = False,
         module_and_spec: tuple | None = None,
     ):
         from image_enhance_keras_tpu.utils.jax_setup import setup_jax
 
         setup_jax()
         self.model_name = model
+        if mixed and dtype is None:
+            # MIXED profile = dtype-rate dots + f32 epilogues; the dot dtype
+            # defaults to the serving bf16 (blocks.make_conv)
+            dtype = jnp.bfloat16
         if module_and_spec is not None:
             # inject an existing module (tiny test/dryrun configs) while
             # keeping THIS constructor the single place engine invariants
             # are established (hand-assembled __new__ resolvers drift)
             self.module, self.spec = module_and_spec
         else:
-            if f32_spine and not model.startswith("didbl"):
-                raise ValueError(
-                    "f32_spine (mixed-precision bf16 serving) is implemented "
-                    "for the didbl family"
-                )
-            kw = {"f32_spine": True} if f32_spine else {}
+            kw = {"mixed": True} if mixed else {}
             self.module, self.spec = get_model(model, dtype=dtype, **kw)
         self._dtype = dtype
         self.forward_mode = forward
@@ -222,6 +221,7 @@ class SuperResolver:
             _os.environ.get("IEK_INT8_ACC", "bf16"),
             _os.environ.get("IEK_INT8_EMIT", "wide"),
             _os.environ.get("IEK_PALLAS_UPSAMPLE", "0"),
+            _os.environ.get("IEK_INT8_UPQ", "0"),
             getattr(self, "round_mode", "round"),
         )
 

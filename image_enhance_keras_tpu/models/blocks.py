@@ -19,18 +19,45 @@ multiples of the 128-lane vector width by construction.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax.numpy as jnp
 import flax.linen as nn
+from jax import lax
 
-__all__ = ["LightBlock", "Light53Block", "DiffBlock"]
+__all__ = ["LightBlock", "Light53Block", "DiffBlock", "make_conv"]
 
 
 def _act(x: jnp.ndarray, leaky_slope: float | None) -> jnp.ndarray:
     if leaky_slope is None:
         return nn.relu(x)
     return nn.leaky_relu(x, negative_slope=leaky_slope)
+
+
+#: f32-accumulator conv for the MIXED serving profile: inputs/kernel cast to
+#: ``dtype`` (bf16 -> the MXU's native rate) but the conv EMITS f32, so the
+#: epilogue (bias, relu, residual scale/add) and the inter-block activations
+#: never round to bf16.  Measured on the trained didbl checkpoint (CPU,
+#: bird-crop probe, r4): all-bf16 loses 3.97 dB PSNR-Y vs f32; bf16 dots +
+#: f32 epilogues recovers ALL of it (43.445 vs f32's 43.424) — the bf16
+#: profile's loss is conv-output/elementwise rounding, not dot precision
+#: (the f32-spine probe recovered only 0.23 dB, measured negative).
+_CONV_F32ACC = functools.partial(
+    lax.conv_general_dilated, preferred_element_type=jnp.float32
+)
+
+
+def make_conv(features, kernel_size, *, dtype, mixed, name=None, **kw):
+    """nn.Conv with the family's serving-precision contract: plain ``dtype``
+    execution, or (``mixed=True``) dtype-rate dots with f32 emission.  Param
+    tree ("kernel"/"bias") is identical either way — checkpoints are
+    profile-portable."""
+    if mixed and dtype is not None:
+        kw["conv_general_dilated"] = _CONV_F32ACC
+    return nn.Conv(
+        features, kernel_size, padding="SAME", dtype=dtype, name=name, **kw
+    )
 
 
 class LightBlock(nn.Module):
@@ -40,12 +67,16 @@ class LightBlock(nn.Module):
     res_scale: float = 0.1
     leaky_slope: float | None = None  # None -> relu; 0.001 -> light0 variant
     dtype: Any = None
+    mixed: bool = False  # dtype-rate dots, f32 epilogues (see make_conv)
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name="conv_a")(x)
+        conv = functools.partial(
+            make_conv, self.features, (3, 3), dtype=self.dtype, mixed=self.mixed
+        )
+        h = conv(name="conv_a")(x)
         h = _act(h, self.leaky_slope)
-        h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name="conv_b")(h)
+        h = conv(name="conv_b")(h)
         return x + jnp.asarray(self.res_scale, h.dtype) * h
 
 
@@ -60,15 +91,19 @@ class Light53Block(nn.Module):
     res_scale: float = 0.1
     identity_scale: float = 0.9
     dtype: Any = None
+    mixed: bool = False  # dtype-rate dots, f32 epilogues (see make_conv)
 
     @nn.compact
     def __call__(self, x):
-        a = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name="conv_a1")(x)
+        conv = functools.partial(
+            make_conv, self.features, dtype=self.dtype, mixed=self.mixed
+        )
+        a = conv((3, 3), name="conv_a1")(x)
         a = nn.relu(a)
-        a = nn.Conv(self.features, (5, 5), padding="SAME", dtype=self.dtype, name="conv_a2")(a)
-        b = nn.Conv(self.features, (5, 5), padding="SAME", dtype=self.dtype, name="conv_b1")(x)
+        a = conv((5, 5), name="conv_a2")(a)
+        b = conv((5, 5), name="conv_b1")(x)
         b = nn.relu(b)
-        b = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name="conv_b2")(b)
+        b = conv((3, 3), name="conv_b2")(b)
         h = a + b
         return (
             jnp.asarray(self.identity_scale, h.dtype) * x
@@ -92,16 +127,20 @@ class DiffBlock(nn.Module):
     leaky_slope: float | None = 0.2  # difvdsr uses LeakyReLU(0.2); difv4 relu
     three_way: bool = True
     dtype: Any = None
+    mixed: bool = False  # dtype-rate dots, f32 epilogues (see make_conv)
 
     @nn.compact
     def __call__(self, x):
-        t = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name="conv_a")(x)
+        conv = functools.partial(
+            make_conv, self.features, (3, 3), dtype=self.dtype, mixed=self.mixed
+        )
+        t = conv(name="conv_a")(x)
         t = nn.relu(t)
-        t = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name="conv_b")(t)
+        t = conv(name="conv_b")(t)
         d = t - x
-        u = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name="conv_c")(d)
+        u = conv(name="conv_c")(d)
         u = _act(u, self.leaky_slope)
-        u = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name="conv_d")(u)
+        u = conv(name="conv_d")(u)
         if self.three_way:
             s = d + u + t
         else:

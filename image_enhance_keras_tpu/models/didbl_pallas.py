@@ -578,6 +578,53 @@ def apply_didbl_int8_xla_body_tiled(
     return h
 
 
+def _upq():
+    """IEK_INT8_UPQ=1: fuse QUANTIZE into the x4 upsample boundary — the
+    r3 surviving idea (ROADMAP.md #3).  The tail's first light53 block
+    consumes the upsampled map twice: quantized (conv input) and raw
+    (0.9-identity leg).  Default path materialises the bf16 HR map (2 B/elt
+    write + two full reads) before the int8 quant; with UPQ the quant chain
+    roots directly at the LR body map — XLA emits ONE fusion that reads LR
+    bytes and writes the HR map as int8 (1 B/elt) — and the identity leg
+    recomputes ``U(0.9*h)`` from LR (the upsample is linear), fusing into
+    the residual add instead of re-reading a materialised HR map.  Not
+    bit-exact vs the unfused path (0.9 applied before vs after the
+    interleave reorders f32/bf16 rounding); quality is gated like every
+    int8 option (EVAL_PROFILES)."""
+    import os as _os
+
+    return _os.environ.get("IEK_INT8_UPQ", "0") == "1"
+
+
+def _light53_i8_xla_upfused(h_lr, p, scale):
+    """First post-upsample light53 block with the x4 interleave fused into
+    both of its consumers (see _upq).  h_lr: (N, h, w, C) bf16 body map."""
+    from image_enhance_keras_tpu.ops.resize import upsample_phase_tf1
+
+    sc = p["actc"]
+    # quant chain rooted at LR: reads h_lr, writes int8 HR — the bf16 HR
+    # map is never materialised for the conv operands
+    xq = _quant_c(upsample_phase_tf1(h_lr, scale), sc["x"])
+    if _emit_s8():
+        aq = _requant_c(_qconv_xla(xq, p["conv_a1"]["qf"]), p["conv_a1"], sc["a"])
+        bq = _requant_c(_qconv_xla(xq, p["conv_b1"]["qf"]), p["conv_b1"], sc["b"])
+    else:
+        a1 = jnp.maximum(
+            _deqf(_qconv_xla(xq, p["conv_a1"]["qf"]), p["conv_a1"]), 0.0
+        )
+        b1 = jnp.maximum(
+            _deqf(_qconv_xla(xq, p["conv_b1"]["qf"]), p["conv_b1"]), 0.0
+        )
+        aq, bq = _quant_c(a1, sc["a"]), _quant_c(b1, sc["b"])
+    a = _deqf(_qconv_xla(aq, p["conv_a2"]["qf"]), p["conv_a2"])
+    b = _deqf(_qconv_xla(bq, p["conv_b2"]["qf"]), p["conv_b2"])
+    # identity leg recomputed from LR in f32 (linearity: 0.9*U(h) = U(0.9*h));
+    # a distinct subgraph from the quant chain's U so CSE cannot merge them
+    # back into one materialised HR buffer
+    skip = upsample_phase_tf1(h_lr.astype(jnp.float32) * 0.9, scale)
+    return (skip + 0.1 * (a + b)).astype(h_lr.dtype)
+
+
 def apply_didbl_int8_xla_tail(
     qparams: Any, h: jnp.ndarray, n_tail53: int = 2, scale: int = 4,
     dynamic: bool = False, upsampler: str = "tf1_bilinear",
@@ -588,10 +635,13 @@ def apply_didbl_int8_xla_tail(
     (engine ``int8_dynamic_tail``) — in split2d mode that is per-TILE, the
     scheme r2 measured at a 0.0004 SSIM-Y delta.
     ``upsampler='subpixel'``: int8 subpixel conv + depth_to_space instead
-    of the TF1 bilinear interleave (didbl.py alternative head)."""
+    of the TF1 bilinear interleave (didbl.py alternative head).
+    ``IEK_INT8_UPQ=1`` (static tf1_bilinear only): quantize-fused upsample
+    boundary — see _upq."""
     from image_enhance_keras_tpu.ops.resize import upsample_phase_tf1
 
     h = h.astype(jnp.bfloat16)
+    start = 0
     if upsampler == "subpixel":
         from image_enhance_keras_tpu.ops.pixel_shuffle import depth_to_space
 
@@ -602,9 +652,12 @@ def apply_didbl_int8_xla_tail(
         else:
             t = _deqf(_qconv_xla(_quant_c(h, p["actc"]["x"]), p["qf"]), p)
         h = depth_to_space(t.astype(jnp.bfloat16), scale, order="dcr")
+    elif _upq() and not dynamic and n_tail53 >= 1:
+        h = _light53_i8_xla_upfused(h, qparams["tail53_0"], scale)
+        start = 1
     else:
         h = upsample_phase_tf1(h, scale)
-    for i in range(n_tail53):
+    for i in range(start, n_tail53):
         p = qparams[f"tail53_{i}"]
         h = _light53_i8_xla_dyn(h, p) if dynamic else _light53_i8_xla(h, p)
     out = _conv(h, qparams["out"])

@@ -43,6 +43,7 @@ class Difvdsr4(nn.Module):
     n_mid: int = 20
     n_tail: int = 6
     dtype: Any = None
+    mixed: bool = False  # dtype-rate dots, f32 epilogues (blocks.make_conv)
     #: net scale: 4 = the reference 2x+2x graph; 2 = the single-2x variant
     #: behind the reference's x2 dev-note configs (models.py:1061-1069) —
     #: same towers, the tail's second upsample dropped.
@@ -68,22 +69,26 @@ class Difvdsr4(nn.Module):
     def setup(self):
         if self.scale not in (2, 4):
             raise ValueError(f"Difvdsr4 supports scale 2 or 4, got {self.scale}")
-        self.level1 = nn.Conv(self.features, (1, 1), padding="SAME", dtype=self.dtype)
+        from image_enhance_keras_tpu.models.blocks import make_conv
+
+        pk = dict(dtype=self.dtype, mixed=self.mixed)
+        self.level1 = make_conv(self.features, (1, 1), **pk)
         self.head = [
-            LightBlock(self.features, leaky_slope=0.001, dtype=self.dtype)
+            LightBlock(self.features, leaky_slope=0.001, **pk)
             for _ in range(self.n_head)
         ]
         self.mid = [
-            LightBlock(self.features, dtype=self.dtype) for _ in range(self.n_mid)
+            LightBlock(self.features, **pk) for _ in range(self.n_mid)
         ]
         self.tail = [
-            LightBlock(self.features, dtype=self.dtype) for _ in range(self.n_tail)
+            LightBlock(self.features, **pk) for _ in range(self.n_tail)
         ]
-        self.out = nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype)
+        self.out = make_conv(3, (3, 3), **pk)
 
     def body(self, x):
         """head tower at 1x -> x2 -> mid tower + long skip, at 2x."""
-        x = x.astype(self.dtype or x.dtype)
+        if not self.mixed:
+            x = x.astype(self.dtype or x.dtype)
         h = nn.relu(self.level1(x))
         for blk in self.head:
             h = blk(h)
@@ -95,7 +100,8 @@ class Difvdsr4(nn.Module):
 
     def tail_fn(self, h):
         """(x2 upsample at scale=4) + tail tower + out conv (spatially local)."""
-        h = h.astype(self.dtype or h.dtype)
+        if not self.mixed:
+            h = h.astype(self.dtype or h.dtype)
         if self.scale == 4:
             h = _up2(h)
         for blk in self.tail:

@@ -25,22 +25,27 @@ class Difvdsr(nn.Module):
     features: int = 192
     n_blocks: int = 32
     dtype: Any = None
+    mixed: bool = False  # dtype-rate dots, f32 epilogues (blocks.make_conv)
     # the reference freezes the entry conv (models.py:1305 trainable=False);
     # the trainer masks these top-level param collections out of the optimizer
     frozen_params: tuple = ("level1",)
 
     @nn.compact
     def __call__(self, x):
-        x = x.astype(self.dtype or x.dtype)
-        h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name="level1")(x)
+        from image_enhance_keras_tpu.models.blocks import make_conv
+
+        pk = dict(dtype=self.dtype, mixed=self.mixed)
+        if not self.mixed:
+            x = x.astype(self.dtype or x.dtype)
+        h = make_conv(self.features, (3, 3), name="level1", **pk)(x)
         h = nn.relu(h)
         for i in range(self.n_blocks):
             h = DiffBlock(
                 self.features,
                 leaky_slope=0.2,
                 three_way=True,
-                dtype=self.dtype,
                 name=f"diff_{i}",
+                **pk,
             )(h)
-        out = nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype, name="out")(h)
+        out = make_conv(3, (3, 3), name="out", **pk)(h)
         return nn.relu(out).astype(jnp.float32)

@@ -282,3 +282,38 @@ def test_pinned_mass_weights_helper():
     assert pinned_mass_weights(4, 0, 0.5) is None
     w = pinned_mass_weights(2, 2, 7.0)  # clamped to 1.0
     assert abs(sum(w[:2]) - 1.0) < 1e-9
+
+
+def test_int8_upq_fused_upsample_boundary(monkeypatch):
+    """IEK_INT8_UPQ=1 (r4 perf lever): the tail's first block fuses the x4
+    interleave into the quant chain and the identity leg.  Not bit-exact
+    (0.9 before vs after the interleave reorders rounding) but must track
+    the default program closely, key the jit caches, and hold in split2d."""
+    img = np.random.default_rng(61).integers(0, 256, (24, 24, 3), dtype=np.uint8)
+
+    r = _tiny_resolver(mode="fast")
+    r.forward_mode = "int8"
+    base = r.upscale(img).astype(np.int32)
+
+    monkeypatch.setenv("IEK_INT8_UPQ", "1")
+    # same resolver must RECOMPILE (env keys _fwd_key)
+    n = len(r._jitted) + len(r._jitted_fast)
+    fused = r.upscale(img).astype(np.int32)
+    assert len(r._jitted) + len(r._jitted_fast) == n + 1
+    assert fused.shape == base.shape
+    assert np.mean(np.abs(fused - base)) < 1.0
+    assert np.abs(fused - base).max() <= 16  # rounding reorder, not rewiring
+
+    # split2d under UPQ stays close to fast under UPQ
+    rs = _tiny_resolver(mode="split")
+    rs.split_tile, rs.split_tile_w = 8, 8
+    rs.forward_mode = "int8"
+    out_s = rs.upscale(img).astype(np.int32)
+    assert np.mean(np.abs(out_s - fused)) < 1.0
+
+    # dynamic tail ignores UPQ (falls back to the unfused upsample)
+    rd = _tiny_resolver(mode="fast")
+    rd.forward_mode = "int8"
+    rd.int8_dynamic_tail = True
+    out_d = rd.upscale(img).astype(np.int32)
+    assert np.mean(np.abs(out_d - base)) < 4.0

@@ -180,17 +180,19 @@ def test_didbl_split_halo_derived():
     assert DifvdsrDouble(n_tail53=1, scale=4).split_halo == 2
 
 
-def test_f32_spine_recovers_bf16_precision():
-    """Mixed-precision serving (VERDICT r3 next-9): with the residual spine
-    kept f32, the bf16 forward must land strictly closer to the f32 forward
-    than the all-bf16 profile does, on the same params — the ~3 dB bf16
-    PSNR loss is per-block spine rounding, not branch-conv precision."""
+def test_mixed_profile_recovers_bf16_precision():
+    """MIXED serving (VERDICT r3 next-9): bf16 MXU dots + f32 epilogues.
+    Measured on the trained checkpoint (bird-crop, r4): recovers ALL of the
+    bf16 profile's 3.97 dB PSNR-Y loss (43.445 vs f32 43.424; all-bf16
+    39.451; the f32-residual-spine probe recovered only 0.23 dB — measured
+    negative).  Here: mechanics — f32 output dtype, identical param tree,
+    much closer to f32 than all-bf16, split parity."""
     from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
 
     kw = dict(features=32, n_body53=8, n_light=3, n_tail53=2)
     m_f32 = DifvdsrDouble(**kw)
     m_bf16 = DifvdsrDouble(dtype=jnp.bfloat16, **kw)
-    m_spine = DifvdsrDouble(dtype=jnp.bfloat16, f32_spine=True, **kw)
+    m_mixed = DifvdsrDouble(dtype=jnp.bfloat16, mixed=True, **kw)
 
     params = init_params(m_f32, jax.random.PRNGKey(0), input_hw=(16, 16))
     x = jnp.asarray(
@@ -198,34 +200,44 @@ def test_f32_spine_recovers_bf16_precision():
     )
     y = np.asarray(m_f32.apply({"params": params}, x))
     y_bf16 = np.asarray(m_bf16.apply({"params": params}, x))
-    y_spine = np.asarray(m_spine.apply({"params": params}, x))
-    assert y_spine.dtype == np.float32 and y_spine.shape == y.shape
+    y_mixed = np.asarray(m_mixed.apply({"params": params}, x))
+    assert y_mixed.dtype == np.float32 and y_mixed.shape == y.shape
 
     e_bf16 = float(np.sqrt(np.mean((y_bf16 - y) ** 2)))
-    e_spine = float(np.sqrt(np.mean((y_spine - y) ** 2)))
-    # at random init the branch outputs dominate the error so the margin is
-    # small (~1.3x here); on the trained 24-block checkpoint the spine
-    # carries the structured signal and the recovery is measured on
-    # hardware (EVAL.md bf16 profile rows)
-    assert e_spine < e_bf16, (e_spine, e_bf16)
+    e_mixed = float(np.sqrt(np.mean((y_mixed - y) ** 2)))
+    assert e_mixed < 0.5 * e_bf16, (e_mixed, e_bf16)
 
     # param tree unchanged (same checkpoints load); split path honors it
-    p2 = init_params(m_spine, jax.random.PRNGKey(0), input_hw=(16, 16))
+    p2 = init_params(m_mixed, jax.random.PRNGKey(0), input_hw=(16, 16))
     assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
-    body = m_spine.apply({"params": params}, x, method="body")
-    assert body.dtype == jnp.float32  # the spine leaves body in f32
-    tail = m_spine.apply({"params": params}, body, method="tail")
-    np.testing.assert_array_equal(np.asarray(tail), y_spine)
+    body = m_mixed.apply({"params": params}, x, method="body")
+    assert body.dtype == jnp.float32  # epilogues stay f32
+    tail = m_mixed.apply({"params": params}, body, method="tail")
+    np.testing.assert_array_equal(np.asarray(tail), y_mixed)
 
 
-def test_f32_spine_engine_and_cli_wiring():
-    """Engine constructs the spine module; non-didbl models refuse."""
-    from image_enhance_keras_tpu.engine import SuperResolver
+def test_mixed_profile_zoo_wide_and_cli():
+    """mixed is a zoo-wide module field (shared blocks) and a --dtype
+    choice; the engine builds it (dtype defaults to bf16)."""
+    from image_enhance_keras_tpu.models.difv4 import Difvdsr4
+    from image_enhance_keras_tpu.models.difvdsr import Difvdsr
 
-    with pytest.raises(ValueError, match="didbl family"):
-        SuperResolver(model="difv4", f32_spine=True, weights=None)
+    x = jnp.asarray(np.random.default_rng(2).random((1, 8, 8, 3)), jnp.float32)
+    for module in (
+        Difvdsr4(features=16, n_head=1, n_mid=1, n_tail=1,
+                 dtype=jnp.bfloat16, mixed=True),
+        Difvdsr(features=16, n_blocks=1, dtype=jnp.bfloat16, mixed=True),
+    ):
+        p = init_params(module, jax.random.PRNGKey(0), input_hw=(8, 8))
+        out = module.apply({"params": p}, x)
+        assert out.dtype == jnp.float32
 
     from image_enhance_keras_tpu.cli.main_dirpath import build_parser
 
-    args = build_parser().parse_args(["d", "--f32-spine"])
-    assert args.f32_spine is True
+    args = build_parser().parse_args(["d", "--dtype", "mixed"])
+    assert args.dtype == "mixed"
+
+    from image_enhance_keras_tpu.engine import SuperResolver
+
+    r = SuperResolver(model="didbl", mixed=True, weights=None)
+    assert r.module.mixed is True and r.module.dtype == jnp.bfloat16

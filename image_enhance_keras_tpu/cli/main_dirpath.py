@@ -77,6 +77,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="N iterative back-projection steps: refine the SR "
                         "output so its PIL-bicubic downscale matches the "
                         "LR input (test-time, model-agnostic)")
+    p.add_argument("--internal-learn", type=int, default=0, metavar="N",
+                   help="ZSSR-style per-image test-time adaptation: fine-"
+                        "tune a copy of the weights for N steps on pairs "
+                        "built from the input itself (zero external data) "
+                        "before upscaling — targets image-specific textures "
+                        "the training corpus lacks; costs N train steps per "
+                        "image")
+    p.add_argument("--internal-learn-lr", type=float, default=None,
+                   help="adaptation learning rate (default 2e-5)")
     p.add_argument("--pipeline", action="store_true",
                    help="overlap native decode -> device -> encode "
                         "(runtime.serving); prints wall-clock Mpix/s incl. IO")
@@ -155,6 +164,7 @@ def _run(args) -> int:
             back_projection=args.back_projection,
             round_mode=args.round_mode,
             mixed=mixed,
+            internal_learn=args.internal_learn,
         )
     else:
         from image_enhance_keras_tpu.engine import SuperResolver
@@ -175,9 +185,12 @@ def _run(args) -> int:
             back_projection=args.back_projection,
             round_mode=args.round_mode,
             mixed=mixed,
+            internal_learn=args.internal_learn,
         )
     if args.int8_calib_dir:
         resolver.int8_calib_dir = args.int8_calib_dir
+    if args.internal_learn_lr:
+        resolver.internal_learn_lr = args.internal_learn_lr
     if args.pipeline:
         from image_enhance_keras_tpu.runtime.serving import serve_directory
 

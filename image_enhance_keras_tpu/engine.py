@@ -87,6 +87,7 @@ class SuperResolver:
         back_projection: int = 0,
         round_mode: str = "round",
         mixed: bool = False,
+        internal_learn: int = 0,
         module_and_spec: tuple | None = None,
     ):
         from image_enhance_keras_tpu.utils.jax_setup import setup_jax
@@ -135,6 +136,7 @@ class SuperResolver:
         #: and with self_ensemble (applied after the ensemble average).
         self.back_projection = int(back_projection)
         self.round_mode = round_mode
+        self.internal_learn = int(internal_learn)
         self._jitted: dict[TilePlan, Any] = {}
         self._jitted_fast: dict[tuple[int, int], Any] = {}
 
@@ -309,6 +311,71 @@ class SuperResolver:
             )
         module = self.module
         return lambda params, b: module.apply({"params": params}, b)
+
+    #: ZSSR-style per-image test-time adaptation (VERDICT r3 next-2,
+    #: "Zero-Shot Super-Resolution", Shocher et al. 2018 — PAPERS.md): before
+    #: upscaling an image, fine-tune a COPY of the weights for N steps on
+    #: (input-degraded-by-s, input) pairs built from the input itself — the
+    #: same PIL-bicubic degradation serving assumes, zero external data.
+    #: Targets exactly the per-image texture statistics a small training
+    #: corpus cannot cover (the LOO head fold).  0 = off.
+    internal_learn: int = 0
+    #: adaptation optimiser settings: small LR (the net is pre-trained, the
+    #: pseudo-corpus is one image), charbonnier (the measured small-corpus
+    #: best, EVAL_LOO_CHARB), batch of augmented crops per step.
+    internal_learn_lr: float = 2e-5
+    internal_learn_batch: int = 8
+    internal_learn_loss: str = "charbonnier"
+
+    def _internal_adapt(self, img_u8: np.ndarray, steps: int):
+        """Fine-tuned params copy for THIS image (self.params untouched).
+
+        The pseudo-task: patches of the serving INPUT act as "HR" targets;
+        the train step degrades them by the net scale (blur sigma 0 = the
+        serving distribution, the r3 exact-degradation recipe) and learns to
+        reconstruct.  Augmented with the x8 dihedral group like ZSSR."""
+        import optax
+
+        from image_enhance_keras_tpu.data.pipeline import PatchSampler
+        from image_enhance_keras_tpu.train.trainer import (
+            TrainState,
+            make_train_step,
+        )
+
+        scale = self._calib_scale()
+        h, w = img_u8.shape[:2]
+        hr_patch = min(64, (min(h, w) // scale) * scale)
+        if hr_patch < scale * 6:
+            log.warning(
+                "internal_learn: input %dx%d too small for x%d adaptation "
+                "patches; serving the base weights", w, h, scale,
+            )
+            return self.params
+        sampler = PatchSampler(
+            [np.asarray(img_u8)],
+            hr_patch=hr_patch,
+            batch_size=int(getattr(self, "internal_learn_batch", 8)),
+            seed=0,
+            augment=True,
+        )
+        tx = optax.adam(float(getattr(self, "internal_learn_lr", 2e-5)), b1=0.9)
+        step = jax.jit(
+            make_train_step(
+                self.module, tx, scale, blur_sigma=0.0,
+                pre_upscale=self.spec.pre_upscaled_input,
+                loss=str(getattr(self, "internal_learn_loss", "charbonnier")),
+            )
+        )
+        state = TrainState(self.params, tx.init(self.params), 0)
+        t0 = time.time()
+        for _ in range(int(steps)):
+            state, metrics = step(state, jnp.asarray(sampler.sample()))
+        jax.block_until_ready(state.params)
+        log.info(
+            "internal_learn: %d steps on %dx%d input (%.1fs, final loss %.5f)",
+            steps, w, h, time.time() - t0, float(metrics["loss"]),
+        )
+        return state.params
 
     #: final uint8 cast semantics ("round" | "trunc").  "round": nearest
     #: (jnp.round) — quality-positive, the engine's historical behavior and
@@ -599,6 +666,21 @@ class SuperResolver:
         input (ops/backproject.py).
         """
         img = np.asarray(img)
+        il = int(getattr(self, "internal_learn", 0) or 0)
+        if il > 0:
+            # adapt ONCE per input (before any ensemble transforms), serve
+            # the adapted copy, and restore the base weights afterwards —
+            # int8 qparams are derived from params, so they reset too
+            saved = (self.params, getattr(self, "_qparams", None))
+            self.params = self._place_weights(self._internal_adapt(img, il))
+            self._qparams = None
+            try:
+                return self._upscale_post(img)
+            finally:
+                self.params, self._qparams = saved
+        return self._upscale_post(img)
+
+    def _upscale_post(self, img: np.ndarray) -> np.ndarray:
         if getattr(self, "self_ensemble", False):
             out = self._upscale_ensemble(img)
         else:

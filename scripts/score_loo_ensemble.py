@@ -76,7 +76,8 @@ def main() -> int:
         if row is None or not os.path.exists(ckpt):
             print(f"fold {fold}: no result/checkpoint, skipping", flush=True)
             continue
-        if "ssim_y_se" in row:
+        want_il = int(os.environ.get("IEK_LOO_IL", "0")) > 0
+        if "ssim_y_se" in row and not (want_il and "ssim_y_il" not in row):
             print(f"fold {fold}: ensemble row present, skipping", flush=True)
             continue
         t0 = time.time()
@@ -97,6 +98,29 @@ def main() -> int:
             psnr_y_se=s.psnr_y, ssim_y_se=s.ssim_y, ssim_rgb_se=s.ssim_rgb,
             se_sec=round(time.time() - t0, 1),
         )
+        # IEK_LOO_IL>0 adds ZSSR-style internal-learning rows (engine
+        # --internal-learn, r4): per-image adaptation on the held-out LR
+        # itself — single-pass and adapted+ensemble
+        il = int(os.environ.get("IEK_LOO_IL", "0"))
+        if il > 0:
+            r.self_ensemble = False
+            r.back_projection = 0
+            r.internal_learn = il
+            if os.environ.get("IEK_LOO_IL_LR"):
+                r.internal_learn_lr = float(os.environ["IEK_LOO_IL_LR"])
+            t_il = time.time()
+            sil = score_pair(gt, r.upscale(lr), name=f"{fold}:il", crop_border=10)
+            r.self_ensemble = True
+            sil_se = score_pair(
+                gt, r.upscale(lr), name=f"{fold}:il+se", crop_border=10
+            )
+            r.internal_learn = 0
+            row.update(
+                il_steps=il, il_lr=float(getattr(r, "internal_learn_lr", 2e-5)),
+                psnr_y_il=sil.psnr_y, ssim_y_il=sil.ssim_y,
+                psnr_y_il_se=sil_se.psnr_y, ssim_y_il_se=sil_se.ssim_y,
+                il_sec=round(time.time() - t_il, 1),
+            )
         # IEK_LOO_BP>0 adds back-projection rows (ops/backproject.py) on
         # top of both the single pass and the ensemble
         bp = int(os.environ.get("IEK_LOO_BP", "3"))
@@ -120,6 +144,14 @@ def main() -> int:
                 "psnr_y_se", "ssim_y_se", "ssim_rgb_se",
             )
         }
+        il_done = [v for v in results["folds"].values() if "ssim_y_il" in v]
+        if il_done:
+            results["mean_il"] = {
+                k: float(np.mean([v[k] for v in il_done]))
+                for k in (
+                    "psnr_y_il", "ssim_y_il", "psnr_y_il_se", "ssim_y_il_se",
+                )
+            }
         bp_done = [v for v in results["folds"].values() if "ssim_y_bp" in v]
         if bp_done:
             results["mean_bp"] = {

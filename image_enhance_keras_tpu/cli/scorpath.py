@@ -43,7 +43,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["xla", "int8", "pallas", "pallas_chain", "pallas_int8"],
                    help="with --generate: forward implementation — score the "
                         "serving profile (e.g. int8) under the same protocol")
-    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16", "mixed"],
+                   help="with --generate: serving precision (mixed = bf16 "
+                        "MXU dots + f32 epilogues, recovers bf16's PSNR "
+                        "loss — EVAL.md)")
+    p.add_argument("--internal-learn", type=int, default=0, metavar="N",
+                   help="with --generate: ZSSR-style per-image test-time "
+                        "adaptation, N steps on the input itself")
     return p
 
 
@@ -62,7 +69,9 @@ def main(argv=None) -> int:
             self_ensemble=args.self_ensemble,
             back_projection=args.back_projection,
             forward=args.forward,
-            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
+            dtype=None if args.dtype == "float32" else jnp.bfloat16,
+            mixed=args.dtype == "mixed",
+            internal_learn=args.internal_learn,
         )
         scores, means = evaluate_model(
             resolver, args.path_dir, scale=args.scale_factor,

@@ -42,6 +42,10 @@ def main() -> int:
     profiles = {
         "f32_fast": (dict(dtype=None, forward="xla"), {}),
         "bf16_fast": (dict(dtype=jnp.bfloat16, forward="xla"), {}),
+        # r4 MIXED profile: bf16 MXU dots + f32 epilogues (--dtype mixed) —
+        # CPU probe recovered ALL of bf16's PSNR loss; this row is the
+        # full-set hardware confirmation
+        "mixed_fast": (dict(mixed=True, forward="xla"), {}),
         # serving default (r4): eval-clean real-data calibration — the
         # engine's unset-int8_calib_dir chain (package-bundled real photos,
         # then procedural dead-leaves), which provably never reads eval

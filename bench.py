@@ -148,14 +148,17 @@ def main() -> int:
     shared_params = base.params
 
     for mode in modes:
-        # trace-time env lever for the *_upq modes; reset per iteration so a
-        # failed mode cannot leak it into the next
+        # trace-time env levers for the *_upq/*_upmm modes; reset per
+        # iteration so a failed mode cannot leak into the next
         os.environ.pop("IEK_INT8_UPQ", None)
+        os.environ.pop("IEK_INT8_UPMM", None)
+        mode_impl = mode
         if mode.endswith("_upq"):
             os.environ["IEK_INT8_UPQ"] = "1"
             mode_impl = mode[: -len("_upq")]
-        else:
-            mode_impl = mode
+        elif mode.endswith("_upmm"):
+            os.environ["IEK_INT8_UPMM"] = "1"
+            mode_impl = mode[: -len("_upmm")]
         try:
             if mode_impl == "fast":
                 r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="fast",

@@ -578,6 +578,12 @@ def apply_didbl_int8_xla_body_tiled(
     return h
 
 
+def _os_env(name: str, default: str = "0") -> str:
+    import os as _os
+
+    return _os.environ.get(name, default)
+
+
 def _upq():
     """IEK_INT8_UPQ=1: fuse QUANTIZE into the x4 upsample boundary — the
     r3 surviving idea (ROADMAP.md #3).  The tail's first light53 block
@@ -655,6 +661,19 @@ def apply_didbl_int8_xla_tail(
     elif _upq() and not dynamic and n_tail53 >= 1:
         h = _light53_i8_xla_upfused(h, qparams["tail53_0"], scale)
         start = 1
+    elif _os_env("IEK_INT8_UPMM") == "1":
+        # r4 attribution: the fused phase interleave measures 12.6 ms per
+        # 8-tile chunk (~49 GB/s effective) — 24% of the tail.  This
+        # variant runs the SAME TF1 semantics as two dense MXU matmuls
+        # (ops/resize.resize2d weight matrices) which stream at matmul
+        # bandwidth instead of the interleave's stack/concat lowering.
+        # Not bit-exact vs the interleave in bf16 (same closed form,
+        # different summation), gated like every int8 option.
+        from image_enhance_keras_tpu.ops.resize import resize_bilinear_tf1
+
+        h = resize_bilinear_tf1(
+            h, (scale * int(h.shape[-3]), scale * int(h.shape[-2]))
+        )
     else:
         h = upsample_phase_tf1(h, scale)
     for i in range(start, n_tail53):

@@ -317,3 +317,19 @@ def test_int8_upq_fused_upsample_boundary(monkeypatch):
     rd.int8_dynamic_tail = True
     out_d = rd.upscale(img).astype(np.int32)
     assert np.mean(np.abs(out_d - base)) < 4.0
+
+
+def test_int8_upmm_matmul_upsample(monkeypatch):
+    """IEK_INT8_UPMM=1: the int8 tail's x4 upsample as dense MXU matmuls
+    (same TF1 closed form as the interleave; r4 attribution measured the
+    fused interleave at ~49 GB/s effective).  Must track the default
+    program closely and key the jit caches."""
+    img = np.random.default_rng(67).integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    r = _tiny_resolver(mode="fast")
+    r.forward_mode = "int8"
+    base = r.upscale(img).astype(np.int32)
+    monkeypatch.setenv("IEK_INT8_UPMM", "1")
+    n = len(r._jitted) + len(r._jitted_fast)
+    mm = r.upscale(img).astype(np.int32)
+    assert len(r._jitted) + len(r._jitted_fast) == n + 1
+    assert np.mean(np.abs(mm - base)) < 1.0 and np.abs(mm - base).max() <= 4

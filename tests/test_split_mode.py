@@ -316,3 +316,34 @@ def test_split2d_trace_cost_tile_count_invariant():
     dt_big, ops_big = lower_one((128, 128))       # 16x16 = 256 tiles
     assert ops_big <= ops_small * 1.5, (ops_small, ops_big)
     assert dt_big <= max(3.0 * dt_small, dt_small + 2.0), (dt_small, dt_big)
+
+
+def test_split2d_mixed_profile_bitexact():
+    """The mixed profile (bf16 dots, f32 epilogues) keeps the split
+    bit-exactness contract: split2d == fast on the same mixed module."""
+    from image_enhance_keras_tpu.engine import SuperResolver
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+    from image_enhance_keras_tpu.models import init_params
+
+    module = DifvdsrDouble(features=16, n_body53=2, n_light=1, n_tail53=1,
+                           dtype=jnp.bfloat16, mixed=True)
+    r = SuperResolver.__new__(SuperResolver)
+    r.model_name = "didbl_tiny_mixed"
+    r.module = module
+    r.spec = ModelSpec("didbl_tiny_mixed", lambda **k: module, 4, False, "t", "w")
+    r.patch, r.step, r.crop = 48, 32, 8
+    r.scalemulti, r.tile_chunk = 4, 4
+    r.mode = "split"
+    r.fast_max_pixels = 1 << 20
+    r.split_tile, r.split_tile_w = 8, 8
+    r.forward_mode = "xla"
+    r._dtype = jnp.bfloat16
+    r._jitted, r._jitted_fast = {}, {}
+    r.params = init_params(module, jax.random.PRNGKey(3), input_hw=(16, 16))
+
+    hw = (40, 56)
+    img = np.random.default_rng(19).integers(0, 256, (*hw, 3), dtype=np.uint8)
+    fast = np.asarray(r._fast_fn(hw)(r.params, jnp.asarray(img)))
+    split = np.asarray(r._split_fn(hw)(r.params, jnp.asarray(img)))
+    np.testing.assert_array_equal(split, fast)

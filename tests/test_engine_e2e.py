@@ -693,3 +693,30 @@ def test_internal_learn_adapts_serves_and_restores(caplog, monkeypatch):
         state, m = step(state, jnp.asarray(sampler.sample()))
     _, m1 = step(state, jnp.asarray(batch))
     assert float(m1["loss"]) < float(m0["loss"])
+
+
+def test_stablehlo_export_roundtrip_mixed(tmp_path):
+    """The mixed profile (bf16 dots, f32 epilogues) exports like any
+    forward: artifact reproduces the live mixed program bit-for-bit and
+    the trunc round-mode is baked in when set."""
+    import jax as _jax
+
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+    from image_enhance_keras_tpu.models import init_params
+    from image_enhance_keras_tpu.models.zoo import ModelSpec
+    from image_enhance_keras_tpu.runtime.export import export_forward, load_forward
+
+    module = DifvdsrDouble(features=16, n_body53=2, n_light=1, n_tail53=1,
+                           dtype=jnp.bfloat16, mixed=True)
+    r = _tiny_resolver(mode="fast")
+    r.module = module
+    r.spec = ModelSpec("didbl_tiny_mixed", lambda **k: module, 4, False, "t", "w")
+    r.params = init_params(module, _jax.random.PRNGKey(0), input_hw=(16, 16))
+    r.round_mode = "trunc"
+
+    img = np.random.default_rng(21).integers(0, 256, (24, 20, 3), dtype=np.uint8)
+    live = np.asarray(r._fast_fn((24, 20))(r.params, img))
+    path = str(tmp_path / "mixed.iekx")
+    export_forward(r, (24, 20), path)
+    out = load_forward(path)(img)
+    np.testing.assert_array_equal(out, live)

@@ -9,9 +9,22 @@ The reference loads hard-coded weights-only HDF5 checkpoints
         'conv2d_1/kernel:0', 'conv2d_1/bias:0'
 
 Conv kernels are HWIO — identical to flax ``nn.Conv`` — so import is a pure
-rename.  Layer order is deterministic from the graph build order; the
-per-model orderings below mirror the creation sequences in
-models.py:1159-1222 (didbl), 992-1142 (difv4), 1274-1357 (difvdsr).
+rename.  Layer ORDER is the subtle part: Keras ``save_weights`` stores
+``layer_names`` in the model's TOPOLOGICAL order (``model.layers``), not
+creation order.  For chain graphs the two coincide, but didbl's light53
+block has two parallel branches (models.py:1248-1270): creation order is
+a1(3x3), a2(5x5), b1(5x5), b2(3x3) while the stored topological order is
+a1, b1, a2, b2 — both branch heads read the block input, so they sort at
+equal depth BEFORE the branch tails.  The a2/b1 pair is shape-identical
+(5x5), so a creation-order positional import reads Keras files with the
+two 5x5 kernels silently swapped (measured against a real tf_keras-written
+didbl: 23x the f32-noise output error — caught by the real-Keras gate,
+tests/test_keras_import_real.py, r4).
+
+Convention resolution: files WITH a ``layer_names`` attribute are
+Keras-written -> topological order; files without (natural-sorted group
+names, written by non-Keras tooling with sequential names) -> creation
+order.
 """
 
 from __future__ import annotations
@@ -27,28 +40,50 @@ log = get_logger(__name__)
 __all__ = ["keras_conv_order", "load_keras_h5", "import_keras_weights"]
 
 
-def keras_conv_order(model_name: str) -> list[tuple[str, ...]]:
-    """Flax param paths of every conv layer, in Keras creation order."""
+def keras_conv_order(
+    model_name: str,
+    n_body53: int = 16,
+    n_light: int = 6,
+    n_tail53: int = 2,
+    convention: str = "topo",
+) -> list[tuple[str, ...]]:
+    """Flax param paths of every conv layer, in the h5 file's stored order.
+
+    ``convention="topo"`` (Keras-written files: ``save_weights`` stores
+    ``model.layers`` order) interleaves each light53 block's branches as
+    a1, b1, a2, b2; ``convention="creation"`` (sequentially-named non-Keras
+    files) keeps the graph-build order a1, a2, b1, b2.  Chain graphs
+    (light blocks, difv4, difvdsr) are identical under both.  The block
+    counts default to the production didbl graph (models.py:1182-1196);
+    non-default counts serve reduced test fixtures (tests/golden/)."""
+    if convention not in ("topo", "creation"):
+        raise ValueError(f"unknown layer-order convention {convention!r}")
+
+    def light53(scope: str) -> list[tuple[str, ...]]:
+        if convention == "topo":
+            return [
+                (scope, "conv_a1"),
+                (scope, "conv_b1"),
+                (scope, "conv_a2"),
+                (scope, "conv_b2"),
+            ]
+        return [
+            (scope, "conv_a1"),
+            (scope, "conv_a2"),
+            (scope, "conv_b1"),
+            (scope, "conv_b2"),
+        ]
+
     if model_name in ("didbl", "didbl_subpixel"):
         order: list[tuple[str, ...]] = [("level1",)]
-        for i in range(16):
-            order += [
-                (f"body53_{i}", "conv_a1"),
-                (f"body53_{i}", "conv_a2"),
-                (f"body53_{i}", "conv_b1"),
-                (f"body53_{i}", "conv_b2"),
-            ]
-        for i in range(6):
+        for i in range(n_body53):
+            order += light53(f"body53_{i}")
+        for i in range(n_light):
             order += [(f"light_{i}", "conv_a"), (f"light_{i}", "conv_b")]
         if model_name == "didbl_subpixel":
             order += [("subpixel_conv",)]
-        for i in range(2):
-            order += [
-                (f"tail53_{i}", "conv_a1"),
-                (f"tail53_{i}", "conv_a2"),
-                (f"tail53_{i}", "conv_b1"),
-                (f"tail53_{i}", "conv_b2"),
-            ]
+        for i in range(n_tail53):
+            order += light53(f"tail53_{i}")
         order += [("out",)]
         return order
     if model_name == "difv4":
@@ -75,9 +110,14 @@ def keras_conv_order(model_name: str) -> list[tuple[str, ...]]:
     raise KeyError(f"no keras layer order known for model {model_name!r}")
 
 
-def load_keras_h5(path: str) -> list[tuple[str, np.ndarray, np.ndarray]]:
+def load_keras_h5(
+    path: str, return_keras_written: bool = False
+) -> list[tuple[str, np.ndarray, np.ndarray]]:
     """Read (layer_name, kernel, bias) triples for every conv layer, in the
-    file's stored layer order."""
+    file's stored layer order.  With ``return_keras_written=True`` returns
+    ``(triples, keras_written)`` where ``keras_written`` says a
+    ``layer_names`` attribute was present (i.e. stored order is Keras's
+    topological ``model.layers`` order, not creation order)."""
     import h5py
 
     import re as _re
@@ -89,7 +129,8 @@ def load_keras_h5(path: str) -> list[tuple[str, np.ndarray, np.ndarray]]:
     out = []
     with h5py.File(path, "r") as f:
         root = f["model_weights"] if "model_weights" in f else f
-        if "layer_names" in root.attrs:
+        keras_written = "layer_names" in root.attrs
+        if keras_written:
             layer_names = [
                 n.decode() if isinstance(n, bytes) else n
                 for n in root.attrs["layer_names"]
@@ -122,20 +163,33 @@ def load_keras_h5(path: str) -> list[tuple[str, np.ndarray, np.ndarray]]:
                     bias = arr
             if kernel is not None and kernel.ndim == 4:
                 out.append((name, kernel, bias))
+    if return_keras_written:
+        return out, keras_written
     return out
 
 
-def import_keras_weights(path: str, model_name: str, params: Any) -> Any:
+def import_keras_weights(path: str, model_name: str, params: Any, **counts) -> Any:
     """Return a copy of ``params`` with conv kernels/biases replaced from a
-    Keras HDF5 file, matched positionally against :func:`keras_conv_order`.
+    Keras HDF5 file, matched positionally against :func:`keras_conv_order`
+    (``counts`` forwards non-default block counts for reduced fixtures, and
+    may force ``convention=...``; by default it is resolved from the file —
+    topological for Keras-written files, creation for the natural-sorted
+    fallback).
 
     Raises on count or shape mismatch — a wrong-architecture checkpoint must
     fail loudly, like Keras ``load_weights`` does.
     """
     import jax
 
-    convs = load_keras_h5(path)
-    order = keras_conv_order(model_name)
+    convs, keras_written = load_keras_h5(path, return_keras_written=True)
+    if "convention" not in counts:
+        counts = dict(counts, convention="topo" if keras_written else "creation")
+    log.info(
+        "importing %s with the %s layer-order convention (%s)",
+        path, counts["convention"],
+        "Keras-written layer_names" if keras_written else "natural-sorted groups",
+    )
+    order = keras_conv_order(model_name, **counts)
     if len(convs) != len(order):
         raise ValueError(
             f"{path}: has {len(convs)} conv layers, model {model_name!r} "

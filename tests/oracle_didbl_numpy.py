@@ -100,15 +100,21 @@ def didbl_numpy_forward(
     n_light: int = 6,
     n_tail53: int = 2,
     scale: int = 4,
+    convention: str = "topo",
 ) -> np.ndarray:
     """(1, H, W, 3) [0,1] -> (1, sH, sW, 3): the exact didbl graph
     (models.py:1177-1199) over weights read straight from the h5.
 
-    Layer consumption order IS the graph build order (models.py:1159-1222):
-    level1 1x1, then per light53 block a1(3x3), a2(5x5), b1(5x5), b2(3x3)
-    [branch a = 3x3 -> relu -> 5x5, branch b = 5x5 -> relu -> 3x3,
-    models.py:1248-1270], per light block conv_a, conv_b, the in-graph
-    x4 bilinear, the two tail53 blocks, and the relu'd out conv."""
+    ``convention`` names the file's light53 conv storage order.  Keras
+    ``save_weights`` stores topological ``model.layers`` order — per block
+    a1(3x3), b1(5x5), a2(5x5), b2(3x3), both branch heads before the branch
+    tails — while sequentially-named non-Keras files carry graph-build
+    (creation) order a1, a2, b1, b2 (models.py:1248-1270: branch a =
+    3x3 -> relu -> 5x5, branch b = 5x5 -> relu -> 3x3).  Chain segments
+    (level1, light blocks, the in-graph x4 bilinear, the out conv) are
+    identical under both."""
+    if convention not in ("topo", "creation"):
+        raise ValueError(f"unknown layer-order convention {convention!r}")
     convs = iter(read_convs_file_order(h5_path))
 
     def nxt():
@@ -117,8 +123,12 @@ def didbl_numpy_forward(
     h = _relu(conv_same(np.asarray(x[0], np.float64), *nxt()))
 
     def light53(h):
-        a = conv_same(_relu(conv_same(h, *nxt())), *nxt())
-        b = conv_same(_relu(conv_same(h, *nxt())), *nxt())
+        if convention == "topo":
+            a1, b1, a2, b2 = nxt(), nxt(), nxt(), nxt()
+        else:
+            a1, a2, b1, b2 = nxt(), nxt(), nxt(), nxt()
+        a = conv_same(_relu(conv_same(h, *a1)), *a2)
+        b = conv_same(_relu(conv_same(h, *b1)), *b2)
         return 0.9 * h + 0.1 * (a + b)
 
     for _ in range(n_body53):

@@ -1,0 +1,115 @@
+"""Build the reference's didbl graph in REAL Keras 2 (``tf_keras``).
+
+This is the truth side of the import parity gate: an actual Keras 2.x
+functional model with the exact reference wiring (models.py:1159-1222 —
+1x1x128 relu 'level1' -> n_body53 x light53 -> n_light x light ->
+Lambda(TF1 resize_bilinear x4) -> n_tail53 x light53 -> 3x3x3 relu),
+whose ``save_weights`` output is a GENUINELY Keras-written HDF5 in the
+same root layout as the reference checkpoint
+(``weights_Double/weights025-17-0.93.h5``, written by Keras
+ModelCheckpoint(save_weights_only=True), models.py:141-142), and whose
+``predict`` is TF's own forward — fully independent of this repo's
+JAX/flax implementation.
+
+Block wiring mirrors models.py:1231-1270 behaviorally (freshly written
+against SURVEY.md section 2.2; scalar-mul Lambdas for the 0.9/0.1
+residual scales, two parallel conv3-relu-conv5 / conv5-relu-conv3
+branches summed).  The x4 upsample Lambda calls
+``tf.compat.v1.image.resize_bilinear`` — the very TF1 kernel the
+reference's resizeX4bil wraps (models.py:1392-1399).
+
+Requires ``tf_keras`` (Keras 2.21 on TF 2.x, CPU); import lazily.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["build_real_keras_didbl", "seeded_weights"]
+
+
+# Lambda payloads live at module level so Keras can serialize the layers
+# by qualified name (closure cells capturing the tf module break the
+# legacy saver's deepcopy).
+def _scale09(t):
+    import tensorflow as tf
+
+    return tf.scalar_mul(0.9, t)
+
+
+def _scale01(t):
+    import tensorflow as tf
+
+    return tf.scalar_mul(0.1, t)
+
+
+def _up4(t):
+    import tensorflow as tf
+
+    h, w = t.shape[1], t.shape[2]
+    return tf.compat.v1.image.resize_bilinear(t, (4 * int(h), 4 * int(w)))
+
+
+def build_real_keras_didbl(
+    height: int,
+    width: int,
+    features: int = 128,
+    n_body53: int = 16,
+    n_light: int = 6,
+    n_tail53: int = 2,
+):
+    """The reference didbl graph as a real Keras 2 functional model."""
+    from tf_keras.layers import Activation, Add, Conv2D, Input, Lambda
+    from tf_keras.models import Model
+
+    def light53(x):
+        # reference creation order (models.py:1248-1270): identity 0.9
+        # Lambda first, then conv3-relu-conv5, conv5-relu-conv3, Add,
+        # 0.1 Lambda, Add.
+        ini = Lambda(_scale09)(x)
+        a = Conv2D(features, (3, 3), padding="same")(x)
+        a = Activation("relu")(a)
+        a = Conv2D(features, (5, 5), padding="same")(a)
+        b = Conv2D(features, (5, 5), padding="same")(x)
+        b = Activation("relu")(b)
+        b = Conv2D(features, (3, 3), padding="same")(b)
+        s = Add()([a, b])
+        s = Lambda(_scale01)(s)
+        return Add()([s, ini])
+
+    def light(x):
+        # models.py:1231-1245: conv3-relu-conv3, 0.1 Lambda, Add identity.
+        h = Conv2D(features, (3, 3), padding="same")(x)
+        h = Activation("relu")(h)
+        h = Conv2D(features, (3, 3), padding="same")(h)
+        h = Lambda(_scale01)(h)
+        return Add()([h, x])
+
+    init = Input(shape=(height, width, 3))
+    x = Conv2D(features, (1, 1), activation="relu", padding="same",
+               name="level1")(init)
+    for _ in range(n_body53):
+        x = light53(x)
+    for _ in range(n_light):
+        x = light(x)
+    x = Lambda(_up4)(x)
+    for _ in range(n_tail53):
+        x = light53(x)
+    out = Conv2D(3, (3, 3), padding="same", activation="relu")(x)
+    return Model(init, out)
+
+
+def seeded_weights(model, seed: int = 0, std: float = 0.05):
+    """Set every conv's kernel/bias from a seeded RNG (deterministic across
+    platforms — Keras's own init is not), return the model."""
+    rng = np.random.default_rng(seed)
+    for layer in model.layers:
+        ws = layer.get_weights()
+        if not ws:
+            continue
+        kernel, bias = ws
+        layer.set_weights([
+            rng.normal(0.0, std, size=kernel.shape).astype(np.float32),
+            rng.normal(0.0, 0.01, size=bias.shape).astype(np.float32),
+        ])
+    return model

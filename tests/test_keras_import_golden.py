@@ -6,10 +6,12 @@ weights025-17-0.93.h5, models.py:1217):
 
 1. A *Keras-faithful* full-size didbl HDF5 fixture: exact Keras 2.x layer
    naming (`input_1`, `conv2d`, `conv2d_1`, ..., `lambda`, `lambda_1`, ...)
-   with the weightless InputLayer/Lambda layers interleaved in
-   ``layer_names`` exactly where the reference graph creates them
-   (models.py:1159-1222).  Regenerated deterministically (seeded), so the
-   90 MB file itself is never committed.
+   with ``layer_names`` in the TOPOLOGICAL order Keras ``save_weights``
+   actually stores (branch heads of each light53 block before the branch
+   tails — verified against a real tf_keras-written didbl in
+   tests/test_keras_import_real.py) and weightless InputLayer/Lambda groups
+   interleaved.  Regenerated deterministically (seeded), so the 90 MB file
+   itself is never committed.
 2. Committed golden forward activations for a 96^2 tile
    (tests/golden/didbl96_golden.npz): h5 -> pytree -> f32 forward must
    reproduce them.  Any drift in conv ordering, kernel layout or bias
@@ -38,12 +40,18 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "didbl96_golden.npz")
 
 
 def _keras_layer_plan():
-    """(keras_layer_name, conv_shape_or_None) in reference creation order
-    (models.py:1159-1222): input, level1 1x1 conv, 16 light53 blocks (4 convs
-    + 2 scale lambdas + adds are not layers with weights... adds ARE layers
-    but carry no weights), 6 light blocks, the x4 resize lambda, 2 tail
-    blocks, out conv.  Weightless layers appear in layer_names with empty
-    weight_names — the importer must skip them by content, not by name."""
+    """(keras_layer_name, conv_shape_or_None) in the order Keras
+    ``save_weights`` STORES layers — the topological ``model.layers`` order,
+    verified against a real tf_keras-written didbl
+    (tests/test_keras_import_real.py, r4).  Layer NAMES still carry creation
+    -order suffixes (models.py:1159-1222 build sequence), but within each
+    light53 block the stored order interleaves the two branches: a1(3x3),
+    b1(5x5), a2(5x5), b2(3x3) — both branch heads read the block input so
+    they sort at equal depth before the branch tails.  (An earlier revision
+    stored creation order a1, a2, b1, b2; the a2/b1 swap is shape-silent and
+    was caught by the real-Keras gate.)  Weightless layers (scale lambdas)
+    appear in layer_names with empty weight_names — the importer must skip
+    them by content, not by name."""
     plan = [("input_1", None), ("conv2d", (1, 1, 3, 128))]
     idx = 1  # Keras 2.x suffixes: first instance bare, then _1, _2, ...
     lam = 0
@@ -60,22 +68,27 @@ def _keras_layer_plan():
         lam += 1
         return (name, None)
 
-    for _ in range(16):  # light53: a1(3x3), a2(5x5), b1(5x5), b2(3x3) + scales
-        plan += [conv((3, 3, 128, 128)), conv((5, 5, 128, 128))]
-        plan += [conv((5, 5, 128, 128)), conv((3, 3, 128, 128))]
-        plan += [lmb(), lmb()]  # x0.9 and x0.1 scale lambdas
-    for _ in range(6):  # light: conv3, conv3 + scale lambda
+    def light53():
+        # creation-order names...
+        a1 = conv((3, 3, 128, 128))
+        a2 = conv((5, 5, 128, 128))
+        b1 = conv((5, 5, 128, 128))
+        b2 = conv((3, 3, 128, 128))
+        # ...stored in topological order, branch heads first
+        return [a1, b1, a2, b2, lmb(), lmb()]  # + x0.9 / x0.1 scale lambdas
+
+    for _ in range(16):
+        plan += light53()
+    for _ in range(6):  # light: conv3, conv3 + scale lambda (a chain —
         plan += [conv((3, 3, 128, 128)), conv((3, 3, 128, 128)), lmb()]
-    plan += [lmb()]  # resizeX4bil
+    plan += [lmb()]  # resizeX4bil   (creation == topological for chains)
     for _ in range(2):  # tail light53
-        plan += [conv((3, 3, 128, 128)), conv((5, 5, 128, 128))]
-        plan += [conv((5, 5, 128, 128)), conv((3, 3, 128, 128))]
-        plan += [lmb(), lmb()]
+        plan += light53()
     plan += [conv((3, 3, 128, 3))]
     return plan
 
 
-def _write_keras_faithful_h5(path, seed=7, root_layout=False):
+def _write_keras_faithful_h5(path, seed=2, root_layout=False):
     """``root_layout=True`` writes the ``save_weights`` file shape: layer
     groups + ``layer_names`` at the FILE ROOT instead of under a
     ``model_weights`` group (Keras writes the wrapper only in full-model

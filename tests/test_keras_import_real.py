@@ -1,0 +1,157 @@
+"""REAL-Keras import parity gate (VERDICT r3 missing #1 / weak #4).
+
+The r1-r3 import gate was gated on *Keras-faithful* fixtures this repo
+writes itself — layout-complete but circular in one respect: the stored
+layer ORDER was assumed, never observed.  ``tf_keras`` (Keras 2.x on TF,
+CPU) turns out to be importable in this environment, so this module closes
+the loop with a genuinely Keras-written HDF5:
+
+1. Build the reference didbl graph (models.py:1159-1222) as a real Keras 2
+   functional model (tests/real_keras_didbl.py — fresh code written from
+   SURVEY.md section 2.2, independent of this repo's flax/JAX stack).
+2. ``model.save_weights`` -> the same root-layout HDF5 format as the
+   production checkpoint ``weights_Double/weights025-17-0.93.h5``
+   (written by ModelCheckpoint(save_weights_only=True), models.py:141-142).
+3. Assert the stored ``layer_names`` order is the TOPOLOGICAL
+   ``model.layers`` order — per light53 block a1(3x3), b1(5x5), a2(5x5),
+   b2(3x3), branch heads before branch tails — NOT graph-creation order.
+   This is the finding that caught a real bug: creation order swaps the
+   shape-identical a2/b1 pair of 5x5 kernels silently (measured 23x the
+   f32-noise output error on a seeded model).
+4. Import through ``import_keras_weights`` and require the flax forward to
+   match ``model.predict`` — TF's own conv + TF1 resize_bilinear forward —
+   to f32 tolerance.  This is truth-vs-implementation, not
+   fixture-vs-implementation.
+5. Cross-check the independent NumPy oracle (tests/oracle_didbl_numpy.py)
+   against the same Keras predict, so BOTH independent restatements are
+   pinned to ground truth.
+
+Reduced block counts keep the TF CPU forward fast; the order logic being
+verified is per-block, so 2 body blocks exercise it exactly as 16 do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+tf_keras = pytest.importorskip("tf_keras")
+
+import jax.numpy as jnp  # noqa: E402
+
+from image_enhance_keras_tpu.models.didbl import DifvdsrDouble  # noqa: E402
+from image_enhance_keras_tpu.models.zoo import init_params  # noqa: E402
+from image_enhance_keras_tpu.models.keras_import import (  # noqa: E402
+    import_keras_weights,
+    load_keras_h5,
+)
+from tests.real_keras_didbl import build_real_keras_didbl, seeded_weights  # noqa: E402
+
+COUNTS = dict(n_body53=2, n_light=2, n_tail53=1)
+FEATURES = 16
+HW = 12  # LR input size; TF predict at 12^2 -> 48^2 is sub-second on CPU
+
+
+@pytest.fixture(scope="module")
+def real_h5(tmp_path_factory):
+    """A genuinely tf_keras-written save_weights HDF5 + its own predict."""
+    model = build_real_keras_didbl(HW, HW, features=FEATURES, **COUNTS)
+    seeded_weights(model, seed=21)
+    path = str(tmp_path_factory.mktemp("real_keras") / "didbl_real.h5")
+    model.save_weights(path)
+    rng = np.random.default_rng(23)
+    x = rng.integers(0, 256, (1, HW, HW, 3)).astype(np.float32) / 255.0
+    y_keras = np.asarray(model.predict(x, verbose=0), np.float32)
+    return path, x, y_keras
+
+
+def test_real_file_is_root_layout_with_layer_names(real_h5):
+    """The save_weights file shape the importer must parse: layer groups at
+    the file root (no model_weights wrapper) + a layer_names attr."""
+    import h5py
+
+    path, _, _ = real_h5
+    with h5py.File(path, "r") as f:
+        assert "model_weights" not in f
+        assert "layer_names" in f.attrs
+
+
+def test_real_keras_stores_topological_layer_order(real_h5):
+    """Keras save_weights stores model.layers (topological) order: within
+    each light53 block the two branch HEADS (conv2d_a1 3x3, conv2d_b1 5x5)
+    come before the two branch TAILS (a2 5x5, b2 3x3).  Layer NAME suffixes
+    are creation order (a1, a2, b1, b2), so topological storage shows up as
+    non-monotonic conv name indices: [i, i+2, i+1, i+3] per block."""
+    path, _, _ = real_h5
+    convs = load_keras_h5(path)
+    names = [name for name, _k, _b in convs]
+    shapes = [k.shape[:2] for _n, k, _b in convs]
+
+    def idx(n):  # "conv2d" -> 0, "conv2d_7" -> 7
+        return 0 if n == "conv2d" else int(n.rsplit("_", 1)[1])
+
+    # level1 (named) first, out conv last
+    assert names[0] == "level1"
+    n_blocks = COUNTS["n_body53"] + COUNTS["n_tail53"]
+    # each light53 block: stored a1, b1, a2, b2 -> shapes (3,3),(5,5),(5,5),(3,3)
+    # [shape-degenerate with creation order] but indices i, i+2, i+1, i+3.
+    pos = 1
+    for _ in range(COUNTS["n_body53"]):
+        quad = [idx(n) for n in names[pos : pos + 4]]
+        base = quad[0]
+        assert quad == [base, base + 2, base + 1, base + 3], (
+            f"stored light53 order is not topological: {names[pos:pos + 4]}"
+        )
+        assert shapes[pos : pos + 4] == [(3, 3), (5, 5), (5, 5), (3, 3)]
+        pos += 4
+    # light blocks are chains: monotonic
+    for _ in range(COUNTS["n_light"]):
+        a, b = (idx(n) for n in names[pos : pos + 2])
+        assert b == a + 1
+        pos += 2
+    for _ in range(COUNTS["n_tail53"]):
+        quad = [idx(n) for n in names[pos : pos + 4]]
+        base = quad[0]
+        assert quad == [base, base + 2, base + 1, base + 3]
+        pos += 4
+    assert shapes[pos] == (3, 3) and convs[pos][1].shape[-1] == 3  # out conv
+    assert n_blocks * 4 + COUNTS["n_light"] * 2 + 2 == len(convs)
+
+
+def test_import_matches_real_keras_predict(real_h5):
+    """THE gate: h5 -> import_keras_weights -> flax forward == TF's own
+    predict (conv stack + the genuine TF1 resize_bilinear kernel).  A wrong
+    layer-order convention fails this at ~1e-1; f32 conv reassociation noise
+    is ~1e-6."""
+    path, x, y_keras = real_h5
+    model = DifvdsrDouble(features=FEATURES, **COUNTS)
+    params = init_params(model, input_hw=(8, 8))
+    params = import_keras_weights(path, "didbl", params, **COUNTS)
+    y = np.asarray(model.apply({"params": params}, jnp.asarray(x)), np.float32)
+    assert y.shape == y_keras.shape == (1, 4 * HW, 4 * HW, 3)
+    np.testing.assert_allclose(y, y_keras, atol=5e-5)
+    assert float(np.std(y_keras)) > 1e-2  # the comparison has teeth
+
+
+def test_numpy_oracle_matches_real_keras_predict(real_h5):
+    """Pin the independent NumPy oracle to the same ground truth: both
+    de-circularized restatements agree with real Keras, so agreement
+    BETWEEN them (the cheap gate run everywhere) is anchored."""
+    from tests.oracle_didbl_numpy import didbl_numpy_forward
+
+    path, x, y_keras = real_h5
+    y = didbl_numpy_forward(path, x, convention="topo", **COUNTS).astype(np.float32)
+    np.testing.assert_allclose(y, y_keras, atol=5e-5)
+
+
+def test_wrong_convention_is_caught(real_h5):
+    """Regression teeth: consuming the real file in creation order (the
+    pre-r4 behavior) swaps each block's two 5x5 kernels and visibly breaks
+    the forward — the error the real-Keras gate originally caught."""
+    from tests.oracle_didbl_numpy import didbl_numpy_forward
+
+    path, x, y_keras = real_h5
+    y_bad = didbl_numpy_forward(
+        path, x, convention="creation", **COUNTS
+    ).astype(np.float32)
+    assert float(np.max(np.abs(y_bad - y_keras))) > 1e-3

@@ -53,6 +53,21 @@ _BUILTIN_PHOTO_SOURCES: tuple[tuple[str, str], ...] = (
     # the face/hair statistics the procedural corpus cannot synthesise
     # (the LOO "head" fold is the measured weak spot, EVAL_LOO_*.json)
     ("matplotlib", "mpl-data/sample_data/grace_hopper.jpg"),
+    # r4 corpus widening: real photographic material textures bundled as
+    # simulator assets.  Chosen by inspection (RGB photos, not game art):
+    # leather/skin pore texture 1024² — targets the head fold's skin
+    # statistics, the corpus-pinned ~0.80 floor
+    ("gymnasium_robotics",
+     "envs/assets/adroit_hand/resources/textures/skin.png"),
+    # bamboo wood grain 1024² — fine directional high-frequency texture
+    ("gymnasium_robotics",
+     "envs/assets/kitchen_franka/kitchen_assets/textures/wood1.png"),
+    # blue mosaic tile 512² — saturated regular pattern with sharp edges
+    ("gymnasium_robotics",
+     "envs/assets/kitchen_franka/kitchen_assets/textures/tile1.png"),
+    # grass 512² — chaotic fine natural texture (fur/feather statistics)
+    ("dm_control",
+     "locomotion/arenas/assets/outdoor_natural/OutdoorGrassFloorD.png"),
 )
 
 
@@ -68,14 +83,20 @@ def builtin_photos(min_side: int = 96) -> list[np.ndarray]:
     — Set5 stays the only eval set — so leave-one-out held-out protocols
     may train on them for every fold.
     """
-    import importlib
+    import importlib.util
     import os
 
     out: list[np.ndarray] = []
     for pkg, rel in _BUILTIN_PHOTO_SOURCES:
         try:
-            mod = importlib.import_module(pkg)
-            path = os.path.join(os.path.dirname(mod.__file__), *rel.split("/"))
+            # find_spec locates the package directory WITHOUT executing the
+            # package (gymnasium_robotics/dm_control imports are heavy and
+            # side-effectful; we only want their bundled asset files)
+            spec = importlib.util.find_spec(pkg)
+            if spec is None or not spec.submodule_search_locations:
+                continue
+            pkg_dir = list(spec.submodule_search_locations)[0]
+            path = os.path.join(pkg_dir, *rel.split("/"))
             if not os.path.exists(path):
                 continue
             img = imread(path)

@@ -45,6 +45,10 @@ def keras_conv_order(
     n_body53: int = 16,
     n_light: int = 6,
     n_tail53: int = 2,
+    n_head: int = 6,
+    n_mid: int = 20,
+    n_tail: int = 6,
+    n_blocks: int = 32,
     convention: str = "topo",
 ) -> list[tuple[str, ...]]:
     """Flax param paths of every conv layer, in the h5 file's stored order.
@@ -87,18 +91,23 @@ def keras_conv_order(
         order += [("out",)]
         return order
     if model_name == "difv4":
+        # pure chains (light blocks: conv -> act -> conv, each conv consumes
+        # the previous conv's output, models.py:1118-1150) — creation order
+        # IS topological order, so the convention does not matter here
         order = [("level1",)]
-        for i in range(6):
+        for i in range(n_head):
             order += [(f"head_{i}", "conv_a"), (f"head_{i}", "conv_b")]
-        for i in range(20):
+        for i in range(n_mid):
             order += [(f"mid_{i}", "conv_a"), (f"mid_{i}", "conv_b")]
-        for i in range(6):
+        for i in range(n_tail):
             order += [(f"tail_{i}", "conv_a"), (f"tail_{i}", "conv_b")]
         order += [("out",)]
         return order
     if model_name == "difvdsr":
+        # a,b,c,d form a dependency chain (c reads Subtract(b_out, block_in),
+        # models.py:1336-1357) — creation == topological, convention-free
         order = [("level1",)]
-        for i in range(32):
+        for i in range(n_blocks):
             order += [
                 (f"diff_{i}", "conv_a"),
                 (f"diff_{i}", "conv_b"),

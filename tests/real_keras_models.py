@@ -1,4 +1,4 @@
-"""Build the reference's didbl graph in REAL Keras 2 (``tf_keras``).
+"""Build the reference's model graphs in REAL Keras 2 (``tf_keras``).
 
 This is the truth side of the import parity gate: an actual Keras 2.x
 functional model with the exact reference wiring (models.py:1159-1222 —
@@ -25,7 +25,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["build_real_keras_didbl", "seeded_weights"]
+__all__ = [
+    "build_real_keras_didbl",
+    "build_real_keras_difv4",
+    "build_real_keras_difvdsr",
+    "seeded_weights",
+]
 
 
 # Lambda payloads live at module level so Keras can serialize the layers
@@ -95,6 +100,105 @@ def build_real_keras_didbl(
     x = Lambda(_up4)(x)
     for _ in range(n_tail53):
         x = light53(x)
+    out = Conv2D(3, (3, 3), padding="same", activation="relu")(x)
+    return Model(init, out)
+
+
+def _up2(t):
+    import tensorflow as tf
+
+    h, w = t.shape[1], t.shape[2]
+    return tf.compat.v1.image.resize_bilinear(t, (2 * int(h), 2 * int(w)))
+
+
+def build_real_keras_difv4(
+    height: int,
+    width: int,
+    features: int = 256,
+    n_head: int = 6,
+    n_mid: int = 20,
+    n_tail: int = 6,
+):
+    """The reference Difvdsr4 graph (models.py:1021-1047) as a real Keras 2
+    functional model: 1x1 relu 'level1' -> n_head light0 blocks
+    (conv3 -> LeakyReLU(0.001) -> conv3 -> x0.1 -> add, models.py:1135-1150)
+    -> TF1 bilinear x2 -> long-skip save -> n_mid light blocks
+    (relu variant, models.py:1118-1133) -> add skip -> TF1 bilinear x2 ->
+    n_tail light blocks -> 3x3x3 relu out."""
+    from tf_keras.layers import (
+        Activation,
+        Add,
+        Conv2D,
+        Input,
+        Lambda,
+        LeakyReLU,
+    )
+    from tf_keras.models import Model
+
+    def light(x, slope=None):
+        h = Conv2D(features, (3, 3), padding="same")(x)
+        h = LeakyReLU(slope)(h) if slope is not None else Activation("relu")(h)
+        h = Conv2D(features, (3, 3), padding="same")(h)
+        h = Lambda(_scale01)(h)
+        return Add()([h, x])
+
+    init = Input(shape=(height, width, 3))
+    x = Conv2D(features, (1, 1), activation="relu", padding="same",
+               name="level1")(init)
+    for _ in range(n_head):
+        x = light(x, slope=0.001)
+    x = Lambda(_up2)(x)
+    skip = x
+    for _ in range(n_mid):
+        x = light(x)
+    x = Add()([x, skip])
+    x = Lambda(_up2)(x)
+    for _ in range(n_tail):
+        x = light(x)
+    out = Conv2D(3, (3, 3), padding="same", activation="relu")(x)
+    return Model(init, out)
+
+
+def build_real_keras_difvdsr(
+    height: int,
+    width: int,
+    features: int = 192,
+    n_blocks: int = 32,
+):
+    """The reference Difvdsr refiner (models.py:1288-1357) as a real Keras 2
+    functional model: 3x3 relu 'level1' -> n_blocks diff blocks
+    (conv a -> relu -> conv b; Subtract(b_out, block_in); conv c ->
+    LeakyReLU(0.2) -> conv d; Add([sub, d, b_out]); x0.1; Add identity,
+    models.py:1336-1357) -> 3x3x3 relu out.  No in-network upscale — the
+    input is the pre-upscaled image."""
+    from tf_keras.layers import (
+        Activation,
+        Add,
+        Conv2D,
+        Input,
+        Lambda,
+        LeakyReLU,
+        Subtract,
+    )
+    from tf_keras.models import Model
+
+    def diff_block(x):
+        h = Conv2D(features, (3, 3), padding="same")(x)
+        h = Activation("relu")(h)
+        h = Conv2D(features, (3, 3), padding="same")(h)
+        sub = Subtract()([h, x])
+        d = Conv2D(features, (3, 3), padding="same")(sub)
+        d = LeakyReLU(0.2)(d)
+        d = Conv2D(features, (3, 3), padding="same")(d)
+        s = Add()([sub, d, h])
+        s = Lambda(_scale01)(s)
+        return Add()([s, x])
+
+    init = Input(shape=(height, width, 3))
+    x = Conv2D(features, (3, 3), activation="relu", padding="same",
+               name="level1")(init)
+    for _ in range(n_blocks):
+        x = diff_block(x)
     out = Conv2D(3, (3, 3), padding="same", activation="relu")(x)
     return Model(init, out)
 

@@ -6,9 +6,10 @@ layer ORDER was assumed, never observed.  ``tf_keras`` (Keras 2.x on TF,
 CPU) turns out to be importable in this environment, so this module closes
 the loop with a genuinely Keras-written HDF5:
 
-1. Build the reference didbl graph (models.py:1159-1222) as a real Keras 2
-   functional model (tests/real_keras_didbl.py — fresh code written from
-   SURVEY.md section 2.2, independent of this repo's flax/JAX stack).
+1. Build the reference graphs (didbl models.py:1159-1222, difv4 1021-1047,
+   difvdsr 1288-1357) as real Keras 2 functional models
+   (tests/real_keras_models.py — fresh code written from SURVEY.md
+   section 2.2, independent of this repo's flax/JAX stack).
 2. ``model.save_weights`` -> the same root-layout HDF5 format as the
    production checkpoint ``weights_Double/weights025-17-0.93.h5``
    (written by ModelCheckpoint(save_weights_only=True), models.py:141-142).
@@ -45,7 +46,12 @@ from image_enhance_keras_tpu.models.keras_import import (  # noqa: E402
     import_keras_weights,
     load_keras_h5,
 )
-from tests.real_keras_didbl import build_real_keras_didbl, seeded_weights  # noqa: E402
+from tests.real_keras_models import (  # noqa: E402
+    build_real_keras_didbl,
+    build_real_keras_difv4,
+    build_real_keras_difvdsr,
+    seeded_weights,
+)
 
 COUNTS = dict(n_body53=2, n_light=2, n_tail53=1)
 FEATURES = 16
@@ -142,6 +148,57 @@ def test_numpy_oracle_matches_real_keras_predict(real_h5):
     path, x, y_keras = real_h5
     y = didbl_numpy_forward(path, x, convention="topo", **COUNTS).astype(np.float32)
     np.testing.assert_allclose(y, y_keras, atol=5e-5)
+
+
+def test_difv4_import_matches_real_keras_predict(tmp_path):
+    """Same truth gate for the difv4 family (models.py:1021-1047): real
+    Keras 2 graph -> save_weights -> import -> flax forward == TF predict.
+    difv4's blocks are chains, so this pins the graph WIRING (two in-graph
+    x2 TF1 bilinears, the mid-tower long skip, LeakyReLU(0.001) heads)
+    rather than layer ordering."""
+    from image_enhance_keras_tpu.models.difv4 import Difvdsr4
+
+    counts = dict(n_head=2, n_mid=2, n_tail=2)
+    model_k = build_real_keras_difv4(HW, HW, features=FEATURES, **counts)
+    seeded_weights(model_k, seed=31)
+    path = str(tmp_path / "difv4_real.h5")
+    model_k.save_weights(path)
+    rng = np.random.default_rng(33)
+    x = rng.integers(0, 256, (1, HW, HW, 3)).astype(np.float32) / 255.0
+    y_keras = np.asarray(model_k.predict(x, verbose=0), np.float32)
+
+    model = Difvdsr4(features=FEATURES, **counts)
+    params = init_params(model, input_hw=(8, 8))
+    params = import_keras_weights(path, "difv4", params, **counts)
+    y = np.asarray(model.apply({"params": params}, jnp.asarray(x)), np.float32)
+    assert y.shape == y_keras.shape == (1, 4 * HW, 4 * HW, 3)
+    np.testing.assert_allclose(y, y_keras, atol=5e-5)
+    # seeded-weight outputs through the x0.1-scaled chains are low-contrast;
+    # teeth = structured output well above the 5e-5 parity tolerance
+    assert float(np.std(y_keras)) > 1e-3
+
+
+def test_difvdsr_import_matches_real_keras_predict(tmp_path):
+    """Same truth gate for the difvdsr refiner (models.py:1288-1357):
+    pins the diff-block wiring (Subtract, three-way Add, LeakyReLU(0.2),
+    x0.1) and its a,b,c,d conv consumption order against real Keras."""
+    from image_enhance_keras_tpu.models.difvdsr import Difvdsr
+
+    model_k = build_real_keras_difvdsr(HW, HW, features=FEATURES, n_blocks=3)
+    seeded_weights(model_k, seed=41)
+    path = str(tmp_path / "difvdsr_real.h5")
+    model_k.save_weights(path)
+    rng = np.random.default_rng(43)
+    x = rng.integers(0, 256, (1, HW, HW, 3)).astype(np.float32) / 255.0
+    y_keras = np.asarray(model_k.predict(x, verbose=0), np.float32)
+
+    model = Difvdsr(features=FEATURES, n_blocks=3)
+    params = init_params(model, input_hw=(8, 8))
+    params = import_keras_weights(path, "difvdsr", params, n_blocks=3)
+    y = np.asarray(model.apply({"params": params}, jnp.asarray(x)), np.float32)
+    assert y.shape == y_keras.shape == (1, HW, HW, 3)
+    np.testing.assert_allclose(y, y_keras, atol=5e-5)
+    assert float(np.std(y_keras)) > 1e-3
 
 
 def test_wrong_convention_is_caught(real_h5):

@@ -106,13 +106,19 @@ def resize_weight_matrix(in_size: int, out_size: int, method: str) -> np.ndarray
     if method == "tf1_bicubic":
         # TF1 resize_bicubic align_corners=False: asymmetric coords
         # (src = dst * in/out), Keys cubic with a = -0.75, edge-clamped,
-        # weights NOT renormalised (TF1 semantics).
+        # weights NOT renormalised (TF1 semantics).  TF's kernel reads its
+        # cubic coefficients from a 1024-entry table (frac quantised to the
+        # nearest 1/1024) — reproduced here so the matrix is bit-tight with
+        # the real op at EVERY ratio (verified vs tf.compat.v1 in
+        # tests/test_tf1_resize_truth.py; exact-Keys weights diverge ~1e-3
+        # at ratios whose fracs fall between table entries, e.g. x3).
         scale = in_size / out_size
+        table = 1024
         w = np.zeros((out_size, in_size), dtype=np.float64)
         for i in range(out_size):
             src = i * scale
             j0 = int(np.floor(src))
-            frac = src - j0
+            frac = round((src - j0) * table) / table
             for t in range(-1, 3):
                 ww = float(_kernel_cubic(np.asarray(t - frac), a=-0.75))
                 j = min(max(j0 + t, 0), in_size - 1)

@@ -64,8 +64,15 @@ def build_real_keras_didbl(
     n_tail53: int = 2,
 ):
     """The reference didbl graph as a real Keras 2 functional model."""
+    from tf_keras import backend as K
     from tf_keras.layers import Activation, Add, Conv2D, Input, Lambda
     from tf_keras.models import Model
+
+    # Keras's auto-name counters (conv2d_N, lambda_N, ...) are GLOBAL per
+    # session; reset so layer names are deterministic regardless of what
+    # was built before (the reference builds one model per process, so its
+    # checkpoint names always start from the bare names).
+    K.clear_session()
 
     def light53(x):
         # reference creation order (models.py:1248-1270): identity 0.9
@@ -125,6 +132,7 @@ def build_real_keras_difv4(
     -> TF1 bilinear x2 -> long-skip save -> n_mid light blocks
     (relu variant, models.py:1118-1133) -> add skip -> TF1 bilinear x2 ->
     n_tail light blocks -> 3x3x3 relu out."""
+    from tf_keras import backend as K
     from tf_keras.layers import (
         Activation,
         Add,
@@ -134,6 +142,8 @@ def build_real_keras_difv4(
         LeakyReLU,
     )
     from tf_keras.models import Model
+
+    K.clear_session()  # deterministic auto-names (see build_real_keras_didbl)
 
     def light(x, slope=None):
         h = Conv2D(features, (3, 3), padding="same")(x)
@@ -171,6 +181,7 @@ def build_real_keras_difvdsr(
     LeakyReLU(0.2) -> conv d; Add([sub, d, b_out]); x0.1; Add identity,
     models.py:1336-1357) -> 3x3x3 relu out.  No in-network upscale — the
     input is the pre-upscaled image."""
+    from tf_keras import backend as K
     from tf_keras.layers import (
         Activation,
         Add,
@@ -181,6 +192,8 @@ def build_real_keras_difvdsr(
         Subtract,
     )
     from tf_keras.models import Model
+
+    K.clear_session()  # deterministic auto-names (see build_real_keras_didbl)
 
     def diff_block(x):
         h = Conv2D(features, (3, 3), padding="same")(x)

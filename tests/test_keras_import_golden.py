@@ -39,67 +39,97 @@ from image_enhance_keras_tpu.models.keras_import import (
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "didbl96_golden.npz")
 
 
-def _keras_layer_plan():
-    """(keras_layer_name, conv_shape_or_None) in the order Keras
-    ``save_weights`` STORES layers — the topological ``model.layers`` order,
-    verified against a real tf_keras-written didbl
-    (tests/test_keras_import_real.py, r4).  Layer NAMES still carry creation
-    -order suffixes (models.py:1159-1222 build sequence), but within each
-    light53 block the stored order interleaves the two branches: a1(3x3),
-    b1(5x5), a2(5x5), b2(3x3) — both branch heads read the block input so
-    they sort at equal depth before the branch tails.  (An earlier revision
-    stored creation order a1, a2, b1, b2; the a2/b1 swap is shape-silent and
-    was caught by the real-Keras gate.)  Weightless layers (scale lambdas)
-    appear in layer_names with empty weight_names — the importer must skip
-    them by content, not by name."""
-    plan = [("input_1", None), ("conv2d", (1, 1, 3, 128))]
-    idx = 1  # Keras 2.x suffixes: first instance bare, then _1, _2, ...
+def _keras_layer_plan(n_body53=16, n_light=6, n_tail53=2, features=128):
+    """(keras_layer_name, conv_shape_or_None) — the EXACT layer_names
+    sequence a real tf_keras ``save_weights`` stores for the didbl graph
+    (asserted equal to a genuinely Keras-written file, name for name, in
+    tests/test_keras_import_real.py::test_fixture_layer_names_match_real).
+
+    Layer NAMES carry creation-order suffixes (models.py:1159-1222 build
+    sequence: per light53 the x0.9 lambda first, then a1, act, a2, b1, act,
+    b2, Add, x0.1 lambda, Add) while the stored ORDER is topological
+    ``model.layers`` order, which interleaves each block's branches —
+    a1(3x3), b1(5x5), both relus, a2(5x5), b2(3x3) — and places the x0.1
+    lambda BEFORE the x0.9 lambda (Keras depth is computed from the output
+    side, where the identity leg is shallower).  An earlier revision
+    stored creation conv order a1, a2, b1, b2; the a2/b1 swap is
+    shape-silent and was caught by the real-Keras gate.  Weightless layers
+    (activations, adds, lambdas, input) appear in layer_names with empty
+    weight_names — the importer must skip them by content, not by name."""
+    plan = [("input_1", None), ("level1", (1, 1, 3, features))]
+    idx = 0  # Keras 2.x suffixes: first instance bare, then _1, _2, ...
+    act = 0
     lam = 0
+    add = 0
+    F = features
+
+    def _n(prefix, i):
+        return prefix if i == 0 else f"{prefix}_{i}"
 
     def conv(shape):
         nonlocal idx
-        name = f"conv2d_{idx}"
+        name = _n("conv2d", idx)
         idx += 1
         return (name, shape)
 
+    def actl():
+        nonlocal act
+        name = _n("activation", act)
+        act += 1
+        return (name, None)
+
     def lmb():
         nonlocal lam
-        name = "lambda" if lam == 0 else f"lambda_{lam}"
+        name = _n("lambda", lam)
         lam += 1
         return (name, None)
 
-    def light53():
-        # creation-order names...
-        a1 = conv((3, 3, 128, 128))
-        a2 = conv((5, 5, 128, 128))
-        b1 = conv((5, 5, 128, 128))
-        b2 = conv((3, 3, 128, 128))
-        # ...stored in topological order, branch heads first
-        return [a1, b1, a2, b2, lmb(), lmb()]  # + x0.9 / x0.1 scale lambdas
+    def addl():
+        nonlocal add
+        name = _n("add", add)
+        add += 1
+        return (name, None)
 
-    for _ in range(16):
+    def light53():
+        # creation order assigns the names...
+        lam09 = lmb()
+        a1 = conv((3, 3, F, F))
+        act_a = actl()
+        a2 = conv((5, 5, F, F))
+        b1 = conv((5, 5, F, F))
+        act_b = actl()
+        b2 = conv((3, 3, F, F))
+        add_sum = addl()
+        lam01 = lmb()
+        add_out = addl()
+        # ...stored order is topological: branch heads, relus, branch
+        # tails, sum, x0.1, x0.9, out-add
+        return [a1, b1, act_a, act_b, a2, b2, add_sum, lam01, lam09, add_out]
+
+    for _ in range(n_body53):
         plan += light53()
-    for _ in range(6):  # light: conv3, conv3 + scale lambda (a chain —
-        plan += [conv((3, 3, 128, 128)), conv((3, 3, 128, 128)), lmb()]
-    plan += [lmb()]  # resizeX4bil   (creation == topological for chains)
-    for _ in range(2):  # tail light53
+    for _ in range(n_light):  # light: a chain — creation == topological
+        plan += [conv((3, 3, F, F)), actl(), conv((3, 3, F, F)), lmb(), addl()]
+    plan += [lmb()]  # resizeX4bil
+    for _ in range(n_tail53):
         plan += light53()
-    plan += [conv((3, 3, 128, 3))]
+    plan += [conv((3, 3, F, 3))]
     return plan
 
 
-def _write_keras_faithful_h5(path, seed=2, root_layout=False):
+def _write_keras_faithful_h5(path, seed=2, root_layout=False, **plan_kw):
     """``root_layout=True`` writes the ``save_weights`` file shape: layer
     groups + ``layer_names`` at the FILE ROOT instead of under a
     ``model_weights`` group (Keras writes the wrapper only in full-model
-    saves; ``model.save_weights`` omits it)."""
+    saves; ``model.save_weights`` omits it).  ``plan_kw`` forwards reduced
+    block counts / features to :func:`_keras_layer_plan`."""
     import h5py
 
     rng = np.random.default_rng(seed)
     with h5py.File(path, "w") as f:
         mw = f if root_layout else f.create_group("model_weights")
         names = []
-        for name, shape in _keras_layer_plan():
+        for name, shape in _keras_layer_plan(**plan_kw):
             names.append(name.encode())
             g = mw.create_group(name)
             if shape is None:

@@ -150,6 +150,102 @@ def test_numpy_oracle_matches_real_keras_predict(real_h5):
     np.testing.assert_allclose(y, y_keras, atol=5e-5)
 
 
+def test_fixture_layer_names_match_real(real_h5, tmp_path):
+    """The committed-golden fixture writer must emit the EXACT layer_names
+    sequence (names, order, weightless groups) and per-group weight_names
+    that real Keras save_weights produces — so the golden gate stresses the
+    importer with the true file shape, not an approximation."""
+    import h5py
+
+    from tests.test_keras_import_golden import _write_keras_faithful_h5
+
+    real_path, _, _ = real_h5
+    fix_path = str(tmp_path / "fixture.h5")
+    _write_keras_faithful_h5(
+        fix_path, root_layout=True, features=FEATURES, **COUNTS
+    )
+
+    def _layout(path):
+        with h5py.File(path, "r") as f:
+            names = [
+                n.decode() if isinstance(n, bytes) else n
+                for n in f.attrs["layer_names"]
+            ]
+            wns = {
+                n: [
+                    w.decode() if isinstance(w, bytes) else w
+                    for w in f[n].attrs["weight_names"]
+                ]
+                for n in names
+            }
+            shapes = {
+                n: [tuple(f[n][w].shape) for w in wns[n]] for n in names
+            }
+        return names, wns, shapes
+
+    real = _layout(real_path)
+    fix = _layout(fix_path)
+    assert fix[0] == real[0], "layer_names sequence differs from real Keras"
+    assert fix[1] == real[1], "weight_names differ from real Keras"
+    assert fix[2] == real[2], "weight shapes differ from real Keras"
+
+
+@pytest.mark.slow
+def test_full_size_real_keras_didbl_parity(tmp_path):
+    """The maximal gate short of the real checkpoint: the FULL production
+    didbl (16/6/2 blocks, 128 features, ~21.8M params) built in real Keras,
+    save_weights-written, imported, and the flax forward must equal TF's
+    own predict.  Also pins the full-size fixture plan to the real file's
+    layer_names.  ~25s on CPU (one-time TF graph build dominates)."""
+    import h5py
+
+    from image_enhance_keras_tpu.models.zoo import get_model
+    from tests.test_keras_import_golden import _keras_layer_plan
+
+    model_k = build_real_keras_didbl(HW, HW)
+    seeded_weights(model_k, seed=51)
+    path = str(tmp_path / "didbl_full_real.h5")
+    model_k.save_weights(path)
+
+    with h5py.File(path, "r") as f:
+        real_names = [
+            n.decode() if isinstance(n, bytes) else n
+            for n in f.attrs["layer_names"]
+        ]
+    assert [n for n, _ in _keras_layer_plan()] == real_names
+
+    x = (
+        np.random.default_rng(53).integers(0, 256, (1, HW, HW, 3)) / 255.0
+    ).astype(np.float32)
+    y_keras = np.asarray(model_k.predict(x, verbose=0), np.float32)
+
+    model, _spec = get_model("didbl")
+    params = init_params(model, input_hw=(8, 8))
+    params = import_keras_weights(path, "didbl", params)
+    y = np.asarray(model.apply({"params": params}, jnp.asarray(x)), np.float32)
+    np.testing.assert_allclose(y, y_keras, atol=5e-5)  # measured ~4e-7
+
+
+def test_wrapped_full_model_save_layout(real_h5, tmp_path):
+    """Keras ``model.save`` (full-model h5) nests the same groups under
+    ``model_weights`` — the importer must read a REAL wrapped file to the
+    identical tree as the real save_weights file."""
+    import jax
+
+    path, _, _ = real_h5
+    model_k = build_real_keras_didbl(HW, HW, features=FEATURES, **COUNTS)
+    model_k.load_weights(path)
+    wrapped = str(tmp_path / "didbl_full_model.h5")
+    model_k.save(wrapped, include_optimizer=False)
+
+    model = DifvdsrDouble(features=FEATURES, **COUNTS)
+    params = init_params(model, input_hw=(8, 8))
+    a = import_keras_weights(path, "didbl", params, **COUNTS)
+    b = import_keras_weights(wrapped, "didbl", params, **COUNTS)
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_difv4_import_matches_real_keras_predict(tmp_path):
     """Same truth gate for the difv4 family (models.py:1021-1047): real
     Keras 2 graph -> save_weights -> import -> flax forward == TF predict.

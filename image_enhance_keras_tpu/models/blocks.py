@@ -84,7 +84,9 @@ class Light53Block(nn.Module):
     """0.9*x + 0.1*(branch_35 + branch_53). Reference models.py:1248-1270.
 
     branch_35 = conv5(relu(conv3(x))); branch_53 = conv3(relu(conv5(x))).
-    Keras creation order (for weight import): a1(3x3), a2(5x5), b1(5x5), b2(3x3).
+    Weight-import naming: a1(3x3), a2(5x5) = branch a; b1(5x5), b2(3x3) =
+    branch b.  Keras files STORE these in topological order a1, b1, a2, b2
+    (models/keras_import.py — verified against real tf_keras, r4).
     """
 
     features: int

@@ -263,6 +263,11 @@ def main() -> int:
             print(json.dumps({"mode": mode, "error": str(e)[:200]}),
                   file=sys.stderr, flush=True)
 
+    # the *_upq/*_upmm levers are set inside the loop; after the LAST such
+    # mode they must not leak into any later in-process tracing (ADVICE r4)
+    os.environ.pop("IEK_INT8_UPQ", None)
+    os.environ.pop("IEK_INT8_UPMM", None)
+
     _DONE.set()
     watchdog.cancel()
     _emit_and_exit()

@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=1)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--augment", action="store_true", help="random flips/transpose")
+    p.add_argument("--moa", type=float, default=0.0, metavar="P",
+                   help="CutBlur-family mixture-of-augmentations: per-sample "
+                        "probability of applying one of blend/rgb_perm/mixup/"
+                        "cutmix/cutmixup to the HR patch before the on-device "
+                        "degradation (data/augment.py). 0 = off")
     p.add_argument("--ckpt-every", type=int, default=1,
                    help="epochs between checkpoint writes (final always saved)")
     p.add_argument("--clip-norm", type=float, default=None,
@@ -93,6 +98,7 @@ def main(argv=None) -> int:
         lr_patch=args.lr_patch,
         checkpoint_dir=args.checkpoint_dir,
         augment=args.augment,
+        moa=args.moa,
         ckpt_every=args.ckpt_every,
         clip_norm=args.clip_norm,
         lr_schedule=args.lr_schedule,

@@ -189,7 +189,7 @@ def _run(args) -> int:
         )
     if args.int8_calib_dir:
         resolver.int8_calib_dir = args.int8_calib_dir
-    if args.internal_learn_lr:
+    if args.internal_learn_lr is not None:
         resolver.internal_learn_lr = args.internal_learn_lr
     if args.pipeline:
         from image_enhance_keras_tpu.runtime.serving import serve_directory

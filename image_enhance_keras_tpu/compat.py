@@ -402,7 +402,10 @@ def transform_images(directory, output_directory, scaling_factor=2,
     from image_enhance_keras_tpu.cli.prepare_data import prepare
 
     cap = None
-    if max_nb_images not in (-1, None):
+    # the reference's break guard is `max_nb_images > 0` (img_utils.py:119),
+    # so 0/negative values process ALL images exactly like -1; only positive
+    # values hit the off-by-one path
+    if max_nb_images is not None and int(max_nb_images) > 0:
         cap = max(1, int(max_nb_images) - 1)
     return prepare(
         directory, output_directory, scale=scaling_factor,

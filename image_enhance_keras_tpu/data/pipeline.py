@@ -387,6 +387,8 @@ class PatchSampler:
         seed: int = 0,
         augment: bool = False,
         weights: list[float] | None = None,
+        moa: float = 0.0,
+        moa_ops: tuple[str, ...] | None = None,
     ):
         if not images:
             raise ValueError("no training images")
@@ -415,6 +417,13 @@ class PatchSampler:
         self.hr_patch = hr_patch
         self.batch_size = batch_size
         self.augment = augment
+        #: CutBlur-family mixture-of-augmentations probability (data/augment
+        #: .py): per sample, chance of applying one op from ``moa_ops``.
+        #: Applied AFTER the geometric flips, on the assembled batch — the
+        #: on-device degradation then derives the LR from the augmented HR,
+        #: so pairs stay consistent by construction.
+        self.moa = float(moa)
+        self.moa_ops = moa_ops
         self.rng = np.random.default_rng(seed)
 
     def sample(self) -> np.ndarray:
@@ -438,6 +447,12 @@ class PatchSampler:
                 if self.rng.random() < 0.5:
                     patch = patch.transpose(1, 0, 2)
             out[i] = patch
+        if self.moa > 0.0:
+            from image_enhance_keras_tpu.data.augment import MOA_OPS, moa_augment
+
+            out = moa_augment(
+                out, self.rng, prob=self.moa, ops=self.moa_ops or MOA_OPS
+            )
         return out
 
     def __iter__(self):

@@ -89,6 +89,7 @@ class SuperResolver:
         mixed: bool = False,
         internal_learn: int = 0,
         module_and_spec: tuple | None = None,
+        model_kwargs: dict | None = None,
     ):
         from image_enhance_keras_tpu.utils.jax_setup import setup_jax
 
@@ -104,7 +105,12 @@ class SuperResolver:
             # are established (hand-assembled __new__ resolvers drift)
             self.module, self.spec = module_and_spec
         else:
-            kw = {"mixed": True} if mixed else {}
+            # non-default graph configs (e.g. the LOO capacity probes'
+            # features/n_body53 overrides) flow through like the Trainer's
+            # cfg.model_kwargs; weights must of course match the config
+            kw = dict(model_kwargs or {})
+            if mixed:
+                kw["mixed"] = True
             self.module, self.spec = get_model(model, dtype=dtype, **kw)
         self._dtype = dtype
         self.forward_mode = forward
@@ -360,6 +366,11 @@ class SuperResolver:
             augment=True,
         )
         tx = optax.adam(float(getattr(self, "internal_learn_lr", 2e-5)), b1=0.9)
+        # difvdsr freezes 'level1' (reference trainable=False) — adaptation
+        # must respect the same mask the Trainer applies (ADVICE r4)
+        from image_enhance_keras_tpu.train.trainer import mask_frozen
+
+        tx = mask_frozen(tx, self.module)
         step = jax.jit(
             make_train_step(
                 self.module, tx, scale, blur_sigma=0.0,

@@ -69,6 +69,29 @@ def pixel_loss_fn(kind: str, eps: float = 1e-3) -> Callable:
     raise ValueError(f"unknown loss {kind!r}: expected mse|charbonnier|l1")
 
 
+def mask_frozen(tx, module):
+    """Wrap ``tx`` so the module's ``frozen_params`` collections (the
+    reference's trainable=False entry conv, models.py:1305) receive exactly
+    zero updates.  Shared by the Trainer and the engine's per-image
+    internal-learning adaptation (ADVICE r4: the latter used to train the
+    frozen entry conv)."""
+    frozen = tuple(getattr(module, "frozen_params", ()) or ())
+    if not frozen:
+        return tx
+
+    def labels(params):
+        return {
+            k: jax.tree_util.tree_map(
+                lambda _: "freeze" if k in frozen else "train", v
+            )
+            for k, v in params.items()
+        }
+
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, labels
+    )
+
+
 def make_train_step(
     module, tx, scale: int, blur_sigma: float, pre_upscale: bool = False,
     ema_decay: float = 0.0, loss: str = "mse", charbonnier_eps: float = 1e-3,
@@ -212,6 +235,7 @@ class Trainer:
             seed=cfg.seed + 7919 * proc,
             augment=cfg.augment,
             weights=train_weights,
+            moa=cfg.moa,
         )
         self.val_sampler = PatchSampler(
             val_images, hr_patch=hr_patch, batch_size=cfg.batch_size,
@@ -228,22 +252,10 @@ class Trainer:
         tx = optax.adam(lr, b1=cfg.beta1)
         if cfg.clip_norm:
             tx = optax.chain(optax.clip_by_global_norm(cfg.clip_norm), tx)
-        frozen = tuple(getattr(self.module, "frozen_params", ()) or ())
-        if frozen:
-            # reference trainable=False on the entry conv (models.py:1305):
-            # route frozen top-level collections to set_to_zero so their
-            # update is exactly 0 (optax.masked would pass raw grads through)
-            def labels(params):
-                return {
-                    k: jax.tree_util.tree_map(
-                        lambda _: "freeze" if k in frozen else "train", v
-                    )
-                    for k, v in params.items()
-                }
-
-            tx = optax.multi_transform(
-                {"train": tx, "freeze": optax.set_to_zero()}, labels
-            )
+        # reference trainable=False on the entry conv (models.py:1305):
+        # route frozen top-level collections to set_to_zero so their
+        # update is exactly 0 (optax.masked would pass raw grads through)
+        tx = mask_frozen(tx, self.module)
         self.tx = tx
         params = init_params(
             self.module, jax.random.PRNGKey(cfg.seed), input_hw=(cfg.lr_patch, cfg.lr_patch)

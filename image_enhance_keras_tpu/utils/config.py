@@ -36,6 +36,9 @@ class Config:
     lr_patch: int = 24  # LR patch side; HR = lr_patch * 4
     blur_sigma: float = 0.5  # degradation blur (img_utils.py:101)
     augment: bool = False  # random flips/transpose on HR patches
+    # CutBlur-family mixture-of-augmentations probability per sample
+    # (data/augment.py: blend/rgb_perm/mixup/cutmix/cutmixup); 0 = off
+    moa: float = 0.0
     ckpt_every: int = 1  # epochs between checkpoint writes (final epoch always)
     clip_norm: float | None = None  # optax global-norm gradient clipping
     lr_schedule: str = "constant"  # "constant" | "cosine" (decay over the run)

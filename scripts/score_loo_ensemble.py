@@ -81,7 +81,16 @@ def main() -> int:
             print(f"fold {fold}: ensemble row present, skipping", flush=True)
             continue
         t0 = time.time()
-        r = SuperResolver(model="didbl", weights=ckpt, mode="fast")
+        # IEK_LOO_KW: model kwargs matching the run being re-scored (the
+        # capacity probes train non-default graphs; row provenance is also
+        # in the fold's model_kwargs key)
+        model_kw = json.loads(os.environ.get("IEK_LOO_KW", "{}")) or (
+            row.get("model_kwargs") or {}
+        )
+        r = SuperResolver(
+            model="didbl", weights=ckpt, mode="fast",
+            model_kwargs=model_kw or None,
+        )
         gt = imread(f"{_set5_dir()}/{fold}_GT.png")
         h, w = (gt.shape[0] // 4) * 4, (gt.shape[1] // 4) * 4
         gt = gt[:h, :w]

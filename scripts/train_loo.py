@@ -62,6 +62,16 @@ def main() -> int:
     # default matches the scorer scripts (score_loo_ensemble/variants):
     # the current protocol is the rich corpus; legacy is the r2 baseline
     corpus = os.environ.get("IEK_LOO_CORPUS", "rich")
+    # IEK_LOO_MOA: CutBlur-family mixture-of-augmentations probability
+    # (data/augment.py) — the r5 held-out attack (VERDICT r4 next-1)
+    moa = float(os.environ.get("IEK_LOO_MOA", "0"))
+    # IEK_LOO_SEED: training seed (sampler + init).  Non-zero runs exist to
+    # put an error bar on the LOO bracket (VERDICT r4 next-7) — use with
+    # IEK_LOO_OUT + IEK_LOO_CKPT_ROOT so seed runs never clobber seed-0 rows
+    seed = int(os.environ.get("IEK_LOO_SEED", "0"))
+    # IEK_LOO_KW: JSON dict of model kwargs (e.g. '{"features":192}' or
+    # '{"n_body53":24}') — the capacity probe (VERDICT r4 next-1b)
+    model_kw = json.loads(os.environ.get("IEK_LOO_KW", "{}"))
 
     from image_enhance_keras_tpu.utils.paths import find_repo_asset
 
@@ -158,7 +168,9 @@ def main() -> int:
             blur_sigma=blur,
             # IEK_LOO_LOSS: pixel loss probe (mse | charbonnier | l1)
             loss=os.environ.get("IEK_LOO_LOSS", "mse"),
-            seed=0,
+            seed=seed,
+            moa=moa,
+            model_kwargs=dict(model_kw),
         )
         # val patches from the training images only — the held-out image
         # must not influence any training-time decision
@@ -172,7 +184,10 @@ def main() -> int:
             trainer.state.ema if trainer.state.ema is not None
             else trainer.state.params
         )
-        resolver = SuperResolver(model="didbl", params=fold_params, mode="fast")
+        resolver = SuperResolver(
+            model="didbl", params=fold_params, mode="fast",
+            model_kwargs=dict(model_kw) or None,
+        )
         gt = gts[fold]
         h, w = (gt.shape[0] // 4) * 4, (gt.shape[1] // 4) * 4
         gt = gt[:h, :w]
@@ -197,6 +212,12 @@ def main() -> int:
             results["folds"][fold]["gt_mass"] = float(gt_mass)
         if blur != 0.5:
             results["folds"][fold]["blur_sigma"] = blur
+        if moa:
+            results["folds"][fold]["moa"] = moa
+        if seed:
+            results["folds"][fold]["seed"] = seed
+        if model_kw:
+            results["folds"][fold]["model_kwargs"] = dict(model_kw)
         print(json.dumps({fold: results["folds"][fold]}), flush=True)
         # aggregate so partial runs still leave a valid file
         done = results["folds"]

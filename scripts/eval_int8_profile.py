@@ -1,6 +1,8 @@
 """int8 serving-profile quality gate: f32 vs bf16 vs pallas_int8 on the
 shipped checkpoint, NTIRE protocol.  Appends rows to EVAL_PROFILES.json and
-prints the int8 SSIM-Y delta (target <= 0.003 vs bf16 — VERDICT r1 item 5).
+prints the int8 SSIM-Y delta (gate <= 0.001 vs bf16 for the shipped
+eval-clean calibration default, r5; 0.003 legacy tier for the
+procedural-only last resort via IEK_INT8_GATE).
 
 Run on the TPU:  python scripts/eval_int8_profile.py [gt_dir] [n_images]
 """
@@ -95,8 +97,16 @@ def main() -> int:
         bf, i8 = fresh.get("bf16_fast"), fresh.get("int8_fast")
         if bf and i8:
             d = bf["ssim_y"] - i8["ssim_y"]
+            # r5 gate: <=0.001 for the shipped (eval-clean photo) calibration
+            # default, which measures 0.00027 full-Set5 — the old 0.003 bar
+            # stopped constraining anything.  The procedural-only LAST-RESORT
+            # calibration (no photos importable) measured 0.0021 and is
+            # documented at the legacy 0.003 tier (SERVING.md); override the
+            # bar via IEK_INT8_GATE when gating that configuration.
+            bar = float(os.environ.get("IEK_INT8_GATE", "0.001"))
             print(json.dumps({"int8_ssim_y_delta_vs_bf16": round(d, 5),
-                              "gate": "PASS" if abs(d) <= 0.003 else "FAIL"}),
+                              "gate_bar": bar,
+                              "gate": "PASS" if abs(d) <= bar else "FAIL"}),
                   flush=True)
         else:
             # a filtered IEK_PROFILES run may not produce both gate rows;

@@ -222,6 +222,20 @@ def main() -> int:
                                   params=shared_params)
                 r.split2d_chunk = int(os.environ.get("IEK_BENCH_CHUNK", "8"))
                 inner, p = r._split_fn((size, size)), r.params
+            elif mode_impl in ("mixedtail_fast", "mixedtail_split2d"):
+                # SELECTIVE-mixed (r5): pure-bf16 body, f32 epilogues only
+                # in the 16x-pixel tail (--dtype mixed-tail)
+                if mode_impl == "mixedtail_fast":
+                    r = SuperResolver(model="didbl", mixed="tail", mode="fast",
+                                      params=shared_params)
+                    inner, p = r._fast_fn((size, size)), r.params
+                else:
+                    tile = int(os.environ.get("IEK_BENCH_TILE", "128"))
+                    r = SuperResolver(model="didbl", mixed="tail", mode="split",
+                                      split_tile=tile, split_tile_w=tile,
+                                      params=shared_params)
+                    r.split2d_chunk = int(os.environ.get("IEK_BENCH_CHUNK", "8"))
+                    inner, p = r._split_fn((size, size)), r.params
             elif mode_impl == "int8_pallas":
                 r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="fast",
                                   forward="pallas_int8", params=shared_params)

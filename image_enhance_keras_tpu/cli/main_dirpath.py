@@ -56,11 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(error if none exists); 'none' = explicit "
                         "random-init smoke run")
     p.add_argument("--dtype", default="float32",
-                   choices=["float32", "bfloat16", "mixed"],
+                   choices=["float32", "bfloat16", "mixed", "mixed-tail"],
                    help="serving precision: float32 (exact), bfloat16 "
                         "(fastest, ~3 dB PSNR-Y below f32 at equal SSIM), "
-                        "or mixed (bf16 MXU dots + f32 epilogues — measured "
-                        "to recover ALL of bf16's PSNR loss; see EVAL.md)")
+                        "mixed (bf16 MXU dots + f32 epilogues — measured "
+                        "to recover ALL of bf16's PSNR loss; see EVAL.md), "
+                        "or mixed-tail (didbl family: pure-bf16 body, f32 "
+                        "epilogues only in the 16x-pixel post-upsample "
+                        "tail — the selective profile; see SERVING.md)")
     p.add_argument("--tile_chunk", default=16, type=int)
     p.add_argument("--devices", default=1, type=int,
                    help="shard tiles across this many devices (data-parallel inference)")
@@ -143,7 +146,7 @@ def _run(args) -> int:
     import jax.numpy as jnp
 
     dtype = None if args.dtype == "float32" else jnp.bfloat16
-    mixed = args.dtype == "mixed"
+    mixed = "tail" if args.dtype == "mixed-tail" else args.dtype == "mixed"
     if args.devices > 1:
         from image_enhance_keras_tpu.parallel import ShardedResolver as Resolver
 

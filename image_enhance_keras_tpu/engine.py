@@ -110,7 +110,11 @@ class SuperResolver:
             # cfg.model_kwargs; weights must of course match the config
             kw = dict(model_kwargs or {})
             if mixed:
-                kw["mixed"] = True
+                # mixed=True: bf16 dots + f32 epilogues everywhere.
+                # mixed="tail": SELECTIVE profile (didbl family) — pure-bf16
+                # body, f32 epilogues only in the 16x-pixel post-upsample
+                # tail where the r4 attribution located bf16's PSNR loss.
+                kw["mixed_tail" if mixed == "tail" else "mixed"] = True
             self.module, self.spec = get_model(model, dtype=dtype, **kw)
         self._dtype = dtype
         self.forward_mode = forward

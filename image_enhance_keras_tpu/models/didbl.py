@@ -53,6 +53,15 @@ class DifvdsrDouble(nn.Module):
     #: 43.424); an f32-residual-spine-only probe recovered just 0.23 dB
     #: (measured negative) — the loss is conv-output rounding.
     mixed: bool = False
+    #: SELECTIVE-mixed serving profile (r5, VERDICT r4 next-4): the body
+    #: stays pure ``dtype`` (bf16 emission — full-rate dots AND bf16-sized
+    #: HBM traffic between the 22 LR-resolution blocks), while only the
+    #: TAIL's convs emit f32.  Rationale from the r4 attribution
+    #: (EVAL.md): bf16's ~4 dB PSNR loss is conv-output rounding, and the
+    #: post-upsample tail owns 16x of the pixels — so pay the f32
+    #: materialisation only where the dBs provably live.  Engine/CLI
+    #: surface: ``--dtype mixed-tail``.
+    mixed_tail: bool = False
 
     def setup(self):
         # attribute names define the param scopes: level1, body53_i, light_i,
@@ -61,6 +70,9 @@ class DifvdsrDouble(nn.Module):
         from image_enhance_keras_tpu.models.blocks import make_conv
 
         pk = dict(dtype=self.dtype, mixed=self.mixed)
+        # tail convs are mixed if EITHER profile asks; body convs only
+        # under the full mixed profile
+        pk_tail = dict(dtype=self.dtype, mixed=self.mixed or self.mixed_tail)
         self.level1 = make_conv(self.features, (1, 1), **pk)
         self.body53 = [
             Light53Block(self.features, **pk) for _ in range(self.n_body53)
@@ -79,14 +91,14 @@ class DifvdsrDouble(nn.Module):
                 self.features * self.scale * self.scale,
                 (3, 3),
                 kernel_init=icnr_init(scale=self.scale, order="dcr"),
-                **pk,
+                **pk_tail,
             )
         elif self.upsampler != "tf1_bilinear":
             raise ValueError(f"unknown upsampler {self.upsampler!r}")
         self.tail53 = [
-            Light53Block(self.features, **pk) for _ in range(self.n_tail53)
+            Light53Block(self.features, **pk_tail) for _ in range(self.n_tail53)
         ]
-        self.out = make_conv(3, (3, 3), **pk)
+        self.out = make_conv(3, (3, 3), **pk_tail)
 
     @property
     def split_halo(self) -> int:
@@ -122,6 +134,9 @@ class DifvdsrDouble(nn.Module):
         whole-frame result exactly (engine._split_fn).
         """
         if not self.mixed:
+            # mixed_tail included: the body handed us a pure-dtype (bf16)
+            # activation, so this cast is an identity there; the tail's
+            # mixed convs then emit f32 and the epilogues promote to f32.
             h = h.astype(self.dtype or h.dtype)
         if self.upsampler == "tf1_bilinear":
             from image_enhance_keras_tpu.ops.resize import upsample_phase_tf1

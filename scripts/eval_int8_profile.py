@@ -48,6 +48,10 @@ def main() -> int:
         # CPU probe recovered ALL of bf16's PSNR loss; this row is the
         # full-set hardware confirmation
         "mixed_fast": (dict(mixed=True, forward="xla"), {}),
+        # r5 SELECTIVE-mixed: pure-bf16 body, f32 epilogues tail-only
+        # (--dtype mixed-tail) — the PSNR claim is that this matches
+        # mixed_fast (the r4 attribution put the loss in the tail)
+        "mixedtail_fast": (dict(mixed="tail", forward="xla"), {}),
         # serving default (r4): eval-clean real-data calibration — the
         # engine's unset-int8_calib_dir chain (package-bundled real photos,
         # then procedural dead-leaves), which provably never reads eval

@@ -241,3 +241,52 @@ def test_mixed_profile_zoo_wide_and_cli():
 
     r = SuperResolver(model="didbl", mixed=True, weights=None)
     assert r.module.mixed is True and r.module.dtype == jnp.bfloat16
+
+
+def test_mixed_tail_profile_selective_semantics():
+    """SELECTIVE-mixed (r5, VERDICT r4 next-4): body identical to pure
+    bf16 (bit-for-bit), tail epilogues f32 — output much closer to the
+    full-mixed profile than all-bf16 is, same param tree."""
+    from image_enhance_keras_tpu.models.didbl import DifvdsrDouble
+
+    kw = dict(features=32, n_body53=8, n_light=3, n_tail53=2)
+    m_f32 = DifvdsrDouble(**kw)
+    m_bf16 = DifvdsrDouble(dtype=jnp.bfloat16, **kw)
+    m_sel = DifvdsrDouble(dtype=jnp.bfloat16, mixed_tail=True, **kw)
+
+    params = init_params(m_f32, jax.random.PRNGKey(0), input_hw=(16, 16))
+    x = jnp.asarray(
+        np.random.default_rng(3).random((1, 24, 24, 3)), jnp.float32
+    )
+    # body is the PURE bf16 body — bit-identical activations
+    b_bf16 = m_bf16.apply({"params": params}, x, method="body")
+    b_sel = m_sel.apply({"params": params}, x, method="body")
+    assert b_sel.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(b_sel, np.float32), np.asarray(b_bf16, np.float32)
+    )
+
+    # tail emits f32 and lands far closer to f32 than all-bf16 does
+    y = np.asarray(m_f32.apply({"params": params}, x))
+    y_bf16 = np.asarray(m_bf16.apply({"params": params}, x))
+    y_sel = np.asarray(m_sel.apply({"params": params}, x))
+    assert y_sel.dtype == np.float32
+    e_bf16 = float(np.sqrt(np.mean((y_bf16 - y) ** 2)))
+    e_sel = float(np.sqrt(np.mean((y_sel - y) ** 2)))
+    assert e_sel < e_bf16, (e_sel, e_bf16)
+
+    # param tree unchanged (checkpoints are profile-portable)
+    p2 = init_params(m_sel, jax.random.PRNGKey(0), input_hw=(16, 16))
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+
+    # CLI + engine plumbing: --dtype mixed-tail -> module.mixed_tail
+    from image_enhance_keras_tpu.cli.main_dirpath import build_parser
+
+    args = build_parser().parse_args(["d", "--dtype", "mixed-tail"])
+    assert args.dtype == "mixed-tail"
+
+    from image_enhance_keras_tpu.engine import SuperResolver
+
+    r = SuperResolver(model="didbl", mixed="tail", weights=None)
+    assert r.module.mixed_tail is True and r.module.mixed is False
+    assert r.module.dtype == jnp.bfloat16

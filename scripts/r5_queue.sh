@@ -1,0 +1,80 @@
+#!/bin/bash
+# Round-5 serialized TPU measurement queue (single chip, single host core:
+# stages must never overlap each other or the main LOO run).
+#
+# Waits for the PID in /tmp/loo_moa.pid (the MoA LOO run) to exit, then runs
+# each remaining VERDICT-r4 measurement in priority order.  Every stage is
+# skipped when its output artifact already exists, so the queue is safe to
+# re-launch after a crash.  Logs to /tmp/r5_queue.log (launcher redirects).
+set -u
+cd /root/repo
+
+log() { echo "[r5_queue $(date +%H:%M:%S)] $*"; }
+
+# ---- stage 0: wait for the running LOO job ----------------------------
+if [ -f /tmp/loo_moa.pid ]; then
+  PID=$(cat /tmp/loo_moa.pid)
+  while kill -0 "$PID" 2>/dev/null; do sleep 60; done
+  log "LOO pid $PID exited"
+fi
+
+# ---- stage A: tail-deficit decomposition (VERDICT r4 next-3) ----------
+if [ ! -f AUDIT_TAIL_DECOMP.json ]; then
+  log "stage A: bench_tail_decompose"
+  timeout 1800 python scripts/bench_tail_decompose.py 8 512 128
+  log "stage A done rc=$?"
+else
+  log "stage A skipped (AUDIT_TAIL_DECOMP.json exists)"
+fi
+
+# ---- stage B: mixed-tail quality row (VERDICT r4 next-4) --------------
+if ! grep -q mixedtail_fast EVAL_PROFILES.json 2>/dev/null; then
+  log "stage B: eval_int8_profile mixedtail_fast"
+  timeout 2400 env IEK_PROFILES=mixedtail_fast \
+    python scripts/eval_int8_profile.py data_set5 5
+  log "stage B done rc=$?"
+else
+  log "stage B skipped (mixedtail_fast row exists)"
+fi
+
+# ---- stage C: mixed-tail rate (VERDICT r4 next-4) ----------------------
+if [ ! -f /tmp/bench_mixedtail.json ]; then
+  log "stage C: bench mixedtail modes"
+  timeout 1800 env IEK_BENCH_MODES=mixedtail_fast,mixedtail_split2d \
+    python bench.py > /tmp/bench_mixedtail.json 2>/tmp/bench_mixedtail.err
+  log "stage C done rc=$?"; cat /tmp/bench_mixedtail.json
+else
+  log "stage C skipped"
+fi
+
+# ---- stage D: seed variance on the MoA recipe (VERDICT r4 next-7) ------
+for SEED in 1 2; do
+  OUT=EVAL_LOO_MOA_S${SEED}.json
+  if [ ! -f "$OUT" ]; then
+    log "stage D: butterfly fold seed=$SEED"
+    timeout 7200 env IEK_LOO_STEPS=20000 IEK_LOO_CORPUS=rich_photo \
+      IEK_LOO_LOSS=charbonnier IEK_LOO_BLUR=0 IEK_LOO_MOA=0.75 \
+      IEK_LOO_ONLY=butterfly IEK_LOO_SEED=$SEED IEK_LOO_OUT=$OUT \
+      IEK_LOO_CKPT_ROOT=/tmp/loo_moa_s$SEED \
+      python scripts/train_loo.py
+    log "stage D seed=$SEED done rc=$?"
+  else
+    log "stage D seed=$SEED skipped"
+  fi
+done
+
+# ---- stage E: capacity screen, features=192 (VERDICT r4 next-1b) -------
+if [ ! -f EVAL_LOO_CAP192.json ] || \
+   ! grep -q butterfly EVAL_LOO_CAP192.json 2>/dev/null; then
+  log "stage E: capacity screen features=192 (baby, butterfly)"
+  timeout 18000 env IEK_LOO_STEPS=20000 IEK_LOO_CORPUS=rich_photo \
+    IEK_LOO_LOSS=charbonnier IEK_LOO_BLUR=0 IEK_LOO_MOA=0.75 \
+    IEK_LOO_ONLY=baby,butterfly IEK_LOO_KW='{"features":192}' \
+    IEK_LOO_OUT=EVAL_LOO_CAP192.json IEK_LOO_CKPT_ROOT=/tmp/loo_cap192 \
+    python scripts/train_loo.py
+  log "stage E done rc=$?"
+else
+  log "stage E skipped"
+fi
+
+log "queue complete"

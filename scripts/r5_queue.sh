@@ -12,11 +12,20 @@ cd /root/repo
 log() { echo "[r5_queue $(date +%H:%M:%S)] $*"; }
 
 # ---- stage 0: wait for the running LOO job ----------------------------
-if [ -f /tmp/loo_moa.pid ]; then
-  PID=$(cat /tmp/loo_moa.pid)
-  while kill -0 "$PID" 2>/dev/null; do sleep 60; done
-  log "LOO pid $PID exited"
-fi
+# Re-read the pid file every cycle: the LOO job may be killed and
+# relaunched under a new pid while we wait (the first launch of this queue
+# cached a pid that was restarted minutes later and ran stage A
+# concurrently with the trainer — contaminating both).
+while :; do
+  PID=$(cat /tmp/loo_moa.pid 2>/dev/null || echo "")
+  if [ -n "$PID" ] && kill -0 "$PID" 2>/dev/null; then sleep 60; continue; fi
+  # settle window: a relaunch writes the new pid within seconds
+  sleep 90
+  PID=$(cat /tmp/loo_moa.pid 2>/dev/null || echo "")
+  if [ -n "$PID" ] && kill -0 "$PID" 2>/dev/null; then continue; fi
+  break
+done
+log "LOO job finished"
 
 # ---- stage A: tail-deficit decomposition (VERDICT r4 next-3) ----------
 if [ ! -f AUDIT_TAIL_DECOMP.json ]; then
@@ -35,6 +44,16 @@ if ! grep -q mixedtail_fast EVAL_PROFILES.json 2>/dev/null; then
   log "stage B done rc=$?"
 else
   log "stage B skipped (mixedtail_fast row exists)"
+fi
+
+# ---- stage B2: behavioral closeness vs the reference's committed -------
+# production-model outputs (VERDICT r4 next-2b; quality-only, ~4 upscales)
+if [ ! -f PARITY_REF_OUTPUTS.json ]; then
+  log "stage B2: compare_reference_outputs"
+  timeout 2400 python scripts/compare_reference_outputs.py
+  log "stage B2 done rc=$?"
+else
+  log "stage B2 skipped"
 fi
 
 # ---- stage C: mixed-tail rate (VERDICT r4 next-4) ----------------------

@@ -66,6 +66,19 @@ else
   log "stage C skipped"
 fi
 
+# ---- stage C2: SE + BP rescoring of the MoA fold checkpoints -----------
+# (the r4 headline bracket 0.8900 is the SE+BP-boosted mean — the MoA
+# bracket must be boosted the same way to be comparable)
+if ! grep -q mean_se EVAL_LOO_MOA.json 2>/dev/null; then
+  log "stage C2: score_loo_ensemble on the MoA checkpoints"
+  timeout 3600 env IEK_LOO_CORPUS=rich_photo IEK_LOO_OUT=EVAL_LOO_MOA.json \
+    IEK_LOO_CKPT_ROOT=/tmp/loo_moa \
+    python scripts/score_loo_ensemble.py
+  log "stage C2 done rc=$?"
+else
+  log "stage C2 skipped"
+fi
+
 # ---- stage D: seed variance on the MoA recipe (VERDICT r4 next-7) ------
 for SEED in 1 2; do
   OUT=EVAL_LOO_MOA_S${SEED}.json

@@ -43,9 +43,15 @@ def main() -> int:
         raise SystemExit(f"reference checkout not present: {REF_DIR}")
 
     # reference-exact serving config: patch mode, 96/64/8 geometry, the
-    # reference's truncating uint8 cast
+    # reference's truncating uint8 cast, our best committed didbl artifact
+    weights = os.environ.get(
+        "IEK_COMPARE_WEIGHTS", "weights_Double/didbl_set5demo.npz"
+    )
+    if not os.path.isfile(weights):
+        raise SystemExit(f"demo checkpoint not found: {weights}")
     resolver = SuperResolver(
-        model="didbl", mode="patch", geometry="ref", round_mode="trunc",
+        model="didbl", weights=weights, mode="patch", geometry="ref",
+        round_mode="trunc",
     )
 
     results: dict = {
@@ -59,7 +65,8 @@ def main() -> int:
             "exists, so 'psnr_y'/'ssim_y' here measure behavioral "
             "closeness between the two artifacts, not quality."
         ),
-        "our_weights": "weights_Double demo checkpoint (Set5-trained)",
+        "our_weights": weights,
+        "backend": __import__("jax").default_backend(),
         "folds": {},
     }
     for fold in FOLDS:

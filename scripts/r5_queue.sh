@@ -6,8 +6,12 @@
 # each remaining VERDICT-r4 measurement in priority order.  Every stage is
 # skipped when its output artifact already exists, so the queue is safe to
 # re-launch after a crash.  Logs to /tmp/r5_queue.log (launcher redirects).
+#
+# Checkpoint roots live under /root/repo/.ckpts (NOT /tmp): the first r5
+# session lost the baby fold checkpoint to a VM reboot that wiped /tmp.
 set -u
 cd /root/repo
+CKPTS=/root/repo/.ckpts
 
 log() { echo "[r5_queue $(date +%H:%M:%S)] $*"; }
 
@@ -46,16 +50,6 @@ else
   log "stage B skipped (mixedtail_fast row exists)"
 fi
 
-# ---- stage B2: behavioral closeness vs the reference's committed -------
-# production-model outputs (VERDICT r4 next-2b; quality-only, ~4 upscales)
-if [ ! -f PARITY_REF_OUTPUTS.json ]; then
-  log "stage B2: compare_reference_outputs"
-  timeout 2400 python scripts/compare_reference_outputs.py
-  log "stage B2 done rc=$?"
-else
-  log "stage B2 skipped"
-fi
-
 # ---- stage C: mixed-tail rate (VERDICT r4 next-4) ----------------------
 if [ ! -f /tmp/bench_mixedtail.json ]; then
   log "stage C: bench mixedtail modes"
@@ -66,13 +60,30 @@ else
   log "stage C skipped"
 fi
 
+# ---- stage B3: retrain the baby fold for its CHECKPOINT ----------------
+# (the baby score row in EVAL_LOO_MOA.json is valid, but its checkpoint
+# lived in /tmp and was lost to the reboot; stage C2's SE+BP rescoring
+# needs all 5 checkpoints.  Same recipe + seed 0 → same training run; the
+# scratch OUT file is discarded, only the checkpoint matters.)
+if [ ! -e "$CKPTS/loo_moa/loo_rich_photo_baby/latest" ]; then
+  log "stage B3: retrain baby fold (checkpoint only)"
+  timeout 7200 env IEK_LOO_STEPS=20000 IEK_LOO_CORPUS=rich_photo \
+    IEK_LOO_LOSS=charbonnier IEK_LOO_BLUR=0 IEK_LOO_MOA=0.75 \
+    IEK_LOO_ONLY=baby IEK_LOO_OUT=$CKPTS/loo_moa_baby_rescore.json \
+    IEK_LOO_CKPT_ROOT=$CKPTS/loo_moa \
+    python scripts/train_loo.py
+  log "stage B3 done rc=$?"
+else
+  log "stage B3 skipped (baby checkpoint exists)"
+fi
+
 # ---- stage C2: SE + BP rescoring of the MoA fold checkpoints -----------
 # (the r4 headline bracket 0.8900 is the SE+BP-boosted mean — the MoA
 # bracket must be boosted the same way to be comparable)
 if ! grep -q mean_se EVAL_LOO_MOA.json 2>/dev/null; then
   log "stage C2: score_loo_ensemble on the MoA checkpoints"
   timeout 3600 env IEK_LOO_CORPUS=rich_photo IEK_LOO_OUT=EVAL_LOO_MOA.json \
-    IEK_LOO_CKPT_ROOT=/tmp/loo_moa \
+    IEK_LOO_CKPT_ROOT=$CKPTS/loo_moa \
     python scripts/score_loo_ensemble.py
   log "stage C2 done rc=$?"
 else
@@ -87,7 +98,7 @@ for SEED in 1 2; do
     timeout 7200 env IEK_LOO_STEPS=20000 IEK_LOO_CORPUS=rich_photo \
       IEK_LOO_LOSS=charbonnier IEK_LOO_BLUR=0 IEK_LOO_MOA=0.75 \
       IEK_LOO_ONLY=butterfly IEK_LOO_SEED=$SEED IEK_LOO_OUT=$OUT \
-      IEK_LOO_CKPT_ROOT=/tmp/loo_moa_s$SEED \
+      IEK_LOO_CKPT_ROOT=$CKPTS/loo_moa_s$SEED \
       python scripts/train_loo.py
     log "stage D seed=$SEED done rc=$?"
   else
@@ -102,7 +113,7 @@ if [ ! -f EVAL_LOO_CAP192.json ] || \
   timeout 18000 env IEK_LOO_STEPS=20000 IEK_LOO_CORPUS=rich_photo \
     IEK_LOO_LOSS=charbonnier IEK_LOO_BLUR=0 IEK_LOO_MOA=0.75 \
     IEK_LOO_ONLY=baby,butterfly IEK_LOO_KW='{"features":192}' \
-    IEK_LOO_OUT=EVAL_LOO_CAP192.json IEK_LOO_CKPT_ROOT=/tmp/loo_cap192 \
+    IEK_LOO_OUT=EVAL_LOO_CAP192.json IEK_LOO_CKPT_ROOT=$CKPTS/loo_cap192 \
     python scripts/train_loo.py
   log "stage E done rc=$?"
 else

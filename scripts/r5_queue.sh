@@ -7,6 +7,12 @@
 # skipped when its output artifact already exists, so the queue is safe to
 # re-launch after a crash.  Logs to /tmp/r5_queue.log (launcher redirects).
 #
+# Stage order (v2): the headline-defining quality stages (B3 baby-checkpoint
+# retrain + C2 SE/BP rescore of the MoA bracket) run FIRST — they decide the
+# round's quality headline vs the 0.904 bar — then the perf stages (tail
+# decomposition A, contingent layout probe A2, mixed-tail rows B/C), then
+# the statistical hardening (seed variance D, capacity screen E).
+#
 # Checkpoint roots live under /root/repo/.ckpts (NOT /tmp): the first r5
 # session lost the baby fold checkpoint to a VM reboot that wiped /tmp.
 set -u
@@ -30,35 +36,6 @@ while :; do
   break
 done
 log "LOO job finished"
-
-# ---- stage A: tail-deficit decomposition (VERDICT r4 next-3) ----------
-if [ ! -f AUDIT_TAIL_DECOMP.json ]; then
-  log "stage A: bench_tail_decompose"
-  timeout 1800 python scripts/bench_tail_decompose.py 8 512 128
-  log "stage A done rc=$?"
-else
-  log "stage A skipped (AUDIT_TAIL_DECOMP.json exists)"
-fi
-
-# ---- stage B: mixed-tail quality row (VERDICT r4 next-4) --------------
-if ! grep -q mixedtail_fast EVAL_PROFILES.json 2>/dev/null; then
-  log "stage B: eval_int8_profile mixedtail_fast"
-  timeout 2400 env IEK_PROFILES=mixedtail_fast \
-    python scripts/eval_int8_profile.py data_set5 5
-  log "stage B done rc=$?"
-else
-  log "stage B skipped (mixedtail_fast row exists)"
-fi
-
-# ---- stage C: mixed-tail rate (VERDICT r4 next-4) ----------------------
-if [ ! -f /tmp/bench_mixedtail.json ]; then
-  log "stage C: bench mixedtail modes"
-  timeout 1800 env IEK_BENCH_MODES=mixedtail_fast,mixedtail_split2d \
-    python bench.py > /tmp/bench_mixedtail.json 2>/tmp/bench_mixedtail.err
-  log "stage C done rc=$?"; cat /tmp/bench_mixedtail.json
-else
-  log "stage C skipped"
-fi
 
 # ---- stage B3: retrain the baby fold for its CHECKPOINT ----------------
 # (the baby score row in EVAL_LOO_MOA.json is valid, but its checkpoint
@@ -88,6 +65,47 @@ if ! grep -q mean_se EVAL_LOO_MOA.json 2>/dev/null; then
   log "stage C2 done rc=$?"
 else
   log "stage C2 skipped"
+fi
+
+# ---- stage A: tail-deficit decomposition (VERDICT r4 next-3) ----------
+if [ ! -f AUDIT_TAIL_DECOMP.json ]; then
+  log "stage A: bench_tail_decompose"
+  timeout 1800 python scripts/bench_tail_decompose.py 8 512 128
+  log "stage A done rc=$?"
+else
+  log "stage A skipped (AUDIT_TAIL_DECOMP.json exists)"
+fi
+
+# ---- stage A2: layout levers for the scheduling term -------------------
+# (contingent branch of VERDICT next-3: which lever to ACT on depends on
+# stage A's epilogue-vs-scheduling split, but the probe itself is ~15 min
+# of chip time — run it unconditionally and interpret both together)
+if [ ! -f AUDIT_TAIL_LAYOUT.json ]; then
+  log "stage A2: bench_tail_layout"
+  timeout 1800 python scripts/bench_tail_layout.py 8 512 128
+  log "stage A2 done rc=$?"
+else
+  log "stage A2 skipped (AUDIT_TAIL_LAYOUT.json exists)"
+fi
+
+# ---- stage B: mixed-tail quality row (VERDICT r4 next-4) --------------
+if ! grep -q mixedtail_fast EVAL_PROFILES.json 2>/dev/null; then
+  log "stage B: eval_int8_profile mixedtail_fast"
+  timeout 2400 env IEK_PROFILES=mixedtail_fast \
+    python scripts/eval_int8_profile.py data_set5 5
+  log "stage B done rc=$?"
+else
+  log "stage B skipped (mixedtail_fast row exists)"
+fi
+
+# ---- stage C: mixed-tail rate (VERDICT r4 next-4) ----------------------
+if [ ! -f /tmp/bench_mixedtail.json ]; then
+  log "stage C: bench mixedtail modes"
+  timeout 1800 env IEK_BENCH_MODES=mixedtail_fast,mixedtail_split2d \
+    python bench.py > /tmp/bench_mixedtail.json 2>/tmp/bench_mixedtail.err
+  log "stage C done rc=$?"; cat /tmp/bench_mixedtail.json
+else
+  log "stage C skipped"
 fi
 
 # ---- stage D: seed variance on the MoA recipe (VERDICT r4 next-7) ------

@@ -29,7 +29,8 @@ IEK_BENCH_MODES (int8_split2d,int8_fast,fast,split2d,split,int8_split,
     patch_perf,patch_ref — headline modes first so a watchdog cut still
     records them; also int8_pallas,fast_batch,int8_batch — the
     whole-batch modes need a small IEK_BENCH_BATCH: the batched tail
-    exceeds HBM at 4x512^2),
+    exceeds HBM at 4x512^2; suffixes _upq/_upmm/_m55 enable the matching
+    IEK_INT8_* trace-time lever for any int8 mode),
 IEK_BENCH_GLOBAL_TIMEOUT (1700s watchdog that emits whatever is measured),
 IEK_BENCH_TILE / IEK_BENCH_CHUNK (split2d tile edge / tile-batch chunk,
     default 128 / 8 — the measured optimum; used by the tile sweep).
@@ -152,6 +153,7 @@ def main() -> int:
         # iteration so a failed mode cannot leak into the next
         os.environ.pop("IEK_INT8_UPQ", None)
         os.environ.pop("IEK_INT8_UPMM", None)
+        os.environ.pop("IEK_INT8_MERGE55", None)
         mode_impl = mode
         if mode.endswith("_upq"):
             os.environ["IEK_INT8_UPQ"] = "1"
@@ -159,6 +161,9 @@ def main() -> int:
         elif mode.endswith("_upmm"):
             os.environ["IEK_INT8_UPMM"] = "1"
             mode_impl = mode[: -len("_upmm")]
+        elif mode.endswith("_m55"):
+            os.environ["IEK_INT8_MERGE55"] = "1"
+            mode_impl = mode[: -len("_m55")]
         try:
             if mode_impl == "fast":
                 r = SuperResolver(model="didbl", dtype=jnp.bfloat16, mode="fast",
@@ -281,6 +286,7 @@ def main() -> int:
     # mode they must not leak into any later in-process tracing (ADVICE r4)
     os.environ.pop("IEK_INT8_UPQ", None)
     os.environ.pop("IEK_INT8_UPMM", None)
+    os.environ.pop("IEK_INT8_MERGE55", None)
 
     _DONE.set()
     watchdog.cancel()

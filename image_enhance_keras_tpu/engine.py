@@ -235,6 +235,7 @@ class SuperResolver:
             _os.environ.get("IEK_PALLAS_UPSAMPLE", "0"),
             _os.environ.get("IEK_INT8_UPQ", "0"),
             _os.environ.get("IEK_INT8_UPMM", "0"),
+            _os.environ.get("IEK_INT8_MERGE55", "0"),
             getattr(self, "round_mode", "round"),
         )
 

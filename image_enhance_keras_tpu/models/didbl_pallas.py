@@ -372,9 +372,62 @@ def _requant_c(acc, p, s_out):
     return jnp.clip(jnp.round(y * (1.0 / s_out)), 0.0, 127.0).astype(jnp.int8)
 
 
+def _merge55():
+    """IEK_INT8_MERGE55=1: run each light53 block's two first-stage convs
+    (branch a's 3x3 and branch b's 5x5 — the reference's dual-kernel block,
+    /root/reference/models.py:1156-1199) as ONE 5x5 conv with 2C output
+    channels, the 3x3 zero-padded to 5x5.  Both branches read the same
+    quantized input, so the merge halves the first-stage conv launches and
+    input reads for +47% first-stage MACs (zero taps) — it wins only where
+    the r5 tail decomposition shows per-conv scheduling overhead, not MAC
+    throughput, dominating the int8 tail deficit (AUDIT_TAIL_DECOMP /
+    AUDIT_TAIL_LAYOUT).  Bit-exact vs the unmerged pair under
+    IEK_INT8_ACC=s32 (s32 accumulation is order-invariant and zero taps
+    contribute exact zeros) — verified byte-equal through the CLI on the
+    full 128-feature model; under the default bf16 accumulator the merged
+    conv's wider reduction tree reorders bf16 rounding (±1 LSB on ~6% of
+    uint8 outputs on the tiny test model, up to ±4 on ~47% at 128
+    features), so pair this lever with --int8-acc s32 or re-gate quality
+    (tests/test_int8_merge55.py)."""
+    import os as _os
+
+    return _os.environ.get("IEK_INT8_MERGE55", "0") == "1"
+
+
+def _merged_w55(p, key):
+    """concat branch-a1/b1 kernels on cout, smaller kernel zero-padded to
+    the larger (centered — SAME-pad alignment preserved for odd sizes)."""
+    wa, wb = p["conv_a1"][key], p["conv_b1"][key]
+    kh = max(wa.shape[0], wb.shape[0])
+    kw = max(wa.shape[1], wb.shape[1])
+
+    def padto(w):
+        ph, pw = (kh - w.shape[0]) // 2, (kw - w.shape[1]) // 2
+        return jnp.pad(
+            w,
+            ((ph, kh - w.shape[0] - ph), (pw, kw - w.shape[1] - pw),
+             (0, 0), (0, 0)),
+        )
+
+    return jnp.concatenate([padto(wa), padto(wb)], axis=-1)
+
+
 def _light53_i8_xla(x, p):
     sc = p["actc"]
     xq = _quant_c(x, sc["x"])
+    if _merge55():
+        C = p["conv_a1"]["qf"].shape[-1]
+        acc = _qconv_xla(xq, _merged_w55(p, "qf"))
+        acc_a, acc_b = acc[..., :C], acc[..., C:]
+        if _emit_s8():
+            aq = _requant_c(acc_a, p["conv_a1"], sc["a"])
+            bq = _requant_c(acc_b, p["conv_b1"], sc["b"])
+        else:
+            aq = _quant_c(jnp.maximum(_deqf(acc_a, p["conv_a1"]), 0.0), sc["a"])
+            bq = _quant_c(jnp.maximum(_deqf(acc_b, p["conv_b1"]), 0.0), sc["b"])
+        a = _deqf(_qconv_xla(aq, p["conv_a2"]["qf"]), p["conv_a2"])
+        b = _deqf(_qconv_xla(bq, p["conv_b2"]["qf"]), p["conv_b2"])
+        return (0.9 * x.astype(jnp.float32) + 0.1 * (a + b)).astype(x.dtype)
     if _emit_s8():
         aq = _requant_c(_qconv_xla(xq, p["conv_a1"]["qf"]), p["conv_a1"], sc["a"])
         bq = _requant_c(_qconv_xla(xq, p["conv_b1"]["qf"]), p["conv_b1"], sc["b"])
@@ -446,6 +499,23 @@ def _requant_dyn(acc, p, s_in):
 
 def _light53_i8_xla_dyn(x, p):
     xq, sx = _quant_dyn_sample(x)
+    if _merge55():
+        # merged first stage (see _merge55); requant epilogues stay
+        # per-branch — each half needs its own per-sample output scale
+        C = p["conv_a1"]["q"].shape[-1]
+        acc = _qconv_xla(xq, _merged_w55(p, "q"))
+        acc_a, acc_b = acc[..., :C], acc[..., C:]
+        if _emit_s8():
+            aq, sa = _requant_dyn(acc_a, p["conv_a1"], sx)
+            bq, sb = _requant_dyn(acc_b, p["conv_b1"], sx)
+        else:
+            a1 = jnp.maximum(_deq_dyn(acc_a, p["conv_a1"], sx), 0.0)
+            b1 = jnp.maximum(_deq_dyn(acc_b, p["conv_b1"], sx), 0.0)
+            aq, sa = _quant_dyn_sample(a1)
+            bq, sb = _quant_dyn_sample(b1)
+        a = _deq_dyn(_qconv_xla(aq, p["conv_a2"]["q"]), p["conv_a2"], sa)
+        b = _deq_dyn(_qconv_xla(bq, p["conv_b2"]["q"]), p["conv_b2"], sb)
+        return (0.9 * x.astype(jnp.float32) + 0.1 * (a + b)).astype(x.dtype)
     if _emit_s8():
         aq, sa = _requant_dyn(_qconv_xla(xq, p["conv_a1"]["q"]), p["conv_a1"], sx)
         bq, sb = _requant_dyn(_qconv_xla(xq, p["conv_b1"]["q"]), p["conv_b1"], sx)
